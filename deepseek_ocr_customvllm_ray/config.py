@@ -1,0 +1,58 @@
+"""Pipeline configuration.
+
+Mirrors the observable knobs of the reference's ``app/config.py`` (constants
+cited per field) without any serving/MinIO/DB settings.  Everything is a plain
+dataclass so stages can be constructed with explicit config and remain
+picklable for Ray.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# Reference: app/config.py:58-60 & app/services/ocr_service.py:99 — 40-page GPU
+# rounds.  In the Ray engine chunking is subsumed by block/batch sizing; this
+# constant survives only as the default OCR-actor batch size.
+DEFAULT_OCR_BATCH_SIZE = 40
+
+# Reference: app/config.py:17 / app/core/model_init.py:31 — vLLM max_num_seqs.
+DEFAULT_MAX_CONCURRENCY = 32
+
+# Reference: app/config.py:20 — empty pages are dropped from clean markdown.
+DEFAULT_SKIP_REPEAT = True
+
+# Reference: process/ngram_norepeat.py wiring at app/core/model_init.py:44-48.
+NGRAM_SIZE = 20
+NGRAM_WINDOW = 50
+# Whitelisted "tokens": the reference whitelists vocab ids {128821,128822}
+# (<td>, </td>); the mock decode operates on word tokens, so the whitelist is
+# the literal strings.
+NGRAM_WHITELIST = frozenset({"<td>", "</td>"})
+
+# Reference: app/config.py:57 — 200 MB upload cap.
+MAX_PAYLOAD_MB = 200
+
+# Page-split marker, byte-exact (ocr_service.py:125).
+PAGE_SPLIT_MARKER = "\n\n<--- Page Split --->\n\n"
+
+# End-of-sentence terminator emitted by the model (postprocess_md.py:34).
+EOS_TOKEN = "<｜end▁of▁sentence｜>"
+
+# Clean-markdown page marker (postprocess_md.py:285).
+PAGE_MARKER = "\n\n\n\n"
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    """Knobs for the extraction pipeline."""
+
+    skip_repeat: bool = DEFAULT_SKIP_REPEAT
+    ocr_batch_size: int = DEFAULT_OCR_BATCH_SIZE
+    ocr_concurrency: int = 4          # actor pool size for the OCR stage
+    ngram_size: int = NGRAM_SIZE
+    ngram_window: int = NGRAM_WINDOW
+    ngram_whitelist: frozenset = field(default_factory=lambda: NGRAM_WHITELIST)
+    max_payload_mb: int = MAX_PAYLOAD_MB
+    # Byte-length skew bucketing before the OCR stage (SURVEY §4 "Skew").
+    skew_bucket_edges: tuple = (4_096, 65_536, 1_048_576)
