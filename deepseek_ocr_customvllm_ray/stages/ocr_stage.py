@@ -1,0 +1,257 @@
+"""Unified extraction stages: explode -> OCR actor pool -> postprocess ->
+per-doc merge.
+
+Distributed re-expression of the reference worker loop
+(ocr_service.py:99-141), single-pass for BOTH branches: the routed/deduped
+doc stream is consumed exactly once (no dataset forking, which would
+re-execute the read + dedup shuffle per branch — fatal at 100 TB).  HTML
+docs ride the same page-row schema as one logical page and skip the OCR
+actor work.
+
+- ``explode_documents``  — doc row -> page rows.  The reference's 40-page
+  chunking (CHUNK_SIZE, app/config.py:60) is subsumed by Ray block / batch
+  sizing; page rows are the skew-free unit of work (a 2000-page doc becomes
+  2000 independent rows — SURVEY §4 "Skew").
+- ``MockOcrEngine``      — the stateful actor-pool stage standing in for the
+  vLLM engine (A1-A5).  ``__init__`` is the once-per-actor model-load slot
+  (model_init.py:17-41 analog); ``__call__`` is ``llm.generate`` over an
+  Arrow batch (processor.py:25-34).  ``batch_size`` plays ``max_num_seqs``'s
+  role.  HTML rows pass through untouched.
+- ``postprocess``        — M9-M16 per pdf page (postprocess_md.py:229-300);
+  Readability extraction per html doc (north-star branch).
+- ``merge_documents``    — groupby(url).map_groups: in-group sort by
+  page_no then ordered concat (G1, ocr_service.py:123-136,147-176).  The
+  only post-dedup wide step; key = url, same key as the dedup shuffle.
+
+Every record carries explicit ``(url, page_no)`` — no positional zips
+anywhere (SURVEY §4 "Ordering").
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, List
+
+import pandas as pd
+import pyarrow as pa
+
+from ..config import ExtractConfig
+from ..functions.document import merge_document, mock_decode, process_page
+from ..functions.blocks import process_ocr_to_blocks
+from ..functions.html_extract import extract_markdown, extract_text
+from ..sources.golden import (
+    BLOCK_STRUCT,
+    EXTRACTED_SCHEMA,
+    FIGURE_STRUCT,
+    block_to_struct,
+    doc_to_row,
+    struct_to_block,
+)
+from ..sources.pdfpayload import parse_pdf_payload
+
+KIND_PDF_PAGE = "pdf_page"
+KIND_HTML_DOC = "html_doc"
+
+PAGE_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts_iso", pa.string()),
+        ("kind", pa.string()),
+        ("page_no", pa.int32()),
+        ("n_pages", pa.int32()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("emission", pa.large_string()),
+    ]
+)
+
+PROCESSED_PAGE_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts_iso", pa.string()),
+        ("kind", pa.string()),
+        ("page_no", pa.int32()),
+        ("n_pages", pa.int32()),
+        ("raw_text", pa.large_string()),
+        ("clean_md", pa.large_string()),  # pdf: page md (null = SKIP_REPEAT);
+                                          # html: doc markdown
+        ("extracted_text", pa.large_string()),  # html only; null for pdf pages
+        ("blocks", pa.large_list(BLOCK_STRUCT)),
+        ("figures", pa.large_list(FIGURE_STRUCT)),
+        ("heading_level", pa.int32()),
+    ]
+)
+
+
+def explode_documents(batch: pa.Table) -> pa.Table:
+    """Doc rows -> unified page rows (S2 analog for pdf; identity-wrap for
+    html).  A corrupt pdf container explodes to zero rows (lineage records
+    the doc as failed; no output row — same as the golden driver)."""
+    cols: Dict[str, list] = {k: [] for k in (
+        "url", "warc_ts_iso", "kind", "page_no", "n_pages", "width", "height", "emission",
+    )}
+
+    def emit(url, iso, kind, page_no, n_pages, w, h, emission):
+        cols["url"].append(url)
+        cols["warc_ts_iso"].append(iso)
+        cols["kind"].append(kind)
+        cols["page_no"].append(page_no)
+        cols["n_pages"].append(n_pages)
+        cols["width"].append(w)
+        cols["height"].append(h)
+        cols["emission"].append(emission)
+
+    for url, ts, payload, kind in zip(
+        batch["url"].to_pylist(),
+        batch["warc_ts"].to_pylist(),
+        batch["html"].to_pylist(),
+        batch["doc_kind"].to_pylist(),
+    ):
+        iso = ts.isoformat()
+        if kind == "pdf":
+            pages = parse_pdf_payload(payload)
+            for page_no, (w, h, emission) in enumerate(pages):
+                emit(url, iso, KIND_PDF_PAGE, page_no, len(pages), w, h, emission)
+        else:
+            emit(
+                url, iso, KIND_HTML_DOC, 0, 1, 0, 0,
+                payload.decode("utf-8", errors="replace"),
+            )
+    return pa.Table.from_arrays(
+        [pa.array(cols[f.name], f.type) for f in PAGE_SCHEMA], schema=PAGE_SCHEMA
+    )
+
+
+class MockOcrEngine:
+    """Actor-pool OCR stage (A1-A5 observable contract).
+
+    Deterministic mock: page "image" in (dimensions + embedded emission) ->
+    markdown-with-grounding-tags string out, with decode-time n-gram
+    suppression (A4).  A GPU deployment swaps this class for one that loads
+    vLLM weights in ``__init__`` and calls ``llm.generate`` in ``__call__``;
+    the stage signature (Arrow batch in/out, rows keyed by (url, page_no))
+    is unchanged.  HTML rows get raw_text="" and are untouched otherwise.
+    """
+
+    def __init__(self, cfg: ExtractConfig = None):
+        self.cfg = cfg or ExtractConfig()  # once-per-actor setup slot
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch["kind"].to_pylist()
+        emissions = batch["emission"].to_pylist()
+        raw = [
+            mock_decode(e, self.cfg) if k == KIND_PDF_PAGE else ""
+            for k, e in zip(kinds, emissions)
+        ]
+        return batch.append_column("raw_text", pa.array(raw, pa.large_string()))
+
+
+def make_postprocess_page_batch(cfg: ExtractConfig):
+    """Stateless postprocess: M9-M16 per pdf page; Readability per html doc."""
+
+    def postprocess_page_batch(batch: pa.Table) -> pa.Table:
+        out: Dict[str, list] = {f.name: [] for f in PROCESSED_PAGE_SCHEMA}
+        for url, iso, kind, page_no, n_pages, w, h, emission, raw in zip(
+            batch["url"].to_pylist(),
+            batch["warc_ts_iso"].to_pylist(),
+            batch["kind"].to_pylist(),
+            batch["page_no"].to_pylist(),
+            batch["n_pages"].to_pylist(),
+            batch["width"].to_pylist(),
+            batch["height"].to_pylist(),
+            batch["emission"].to_pylist(),
+            batch["raw_text"].to_pylist(),
+        ):
+            if kind == KIND_PDF_PAGE:
+                p = process_page(url, page_no, w, h, raw, cfg)
+                clean_md = p["clean_md"]
+                extracted_text = None
+                blocks = [block_to_struct(b) for b in p["blocks"]]
+                figures = [{"name": n, "jpeg": j} for n, j in p["figures"]]
+                heading = p["heading_level"]
+                raw_text = raw
+            else:
+                markdown = extract_markdown(emission)
+                clean_md = markdown
+                extracted_text = extract_text(emission)
+                blocks = [block_to_struct(b) for b in process_ocr_to_blocks(markdown)]
+                figures = []
+                heading = 0
+                raw_text = ""
+            out["url"].append(url)
+            out["warc_ts_iso"].append(iso)
+            out["kind"].append(kind)
+            out["page_no"].append(page_no)
+            out["n_pages"].append(n_pages)
+            out["raw_text"].append(raw_text)
+            out["clean_md"].append(clean_md)
+            out["extracted_text"].append(extracted_text)
+            out["blocks"].append(blocks)
+            out["figures"].append(figures)
+            out["heading_level"].append(heading)
+        return pa.Table.from_arrays(
+            [pa.array(out[f.name], f.type) for f in PROCESSED_PAGE_SCHEMA],
+            schema=PROCESSED_PAGE_SCHEMA,
+        )
+
+    return postprocess_page_batch
+
+
+def merge_page_group(group: pd.DataFrame) -> pa.Table:
+    """One url's rows -> one document row.  PDF: in-group sort by page_no
+    then ordered concat (G1).  HTML: unwrap the single processed row."""
+    kind = group["kind"].iloc[0]
+    url = group["url"].iloc[0]
+    ts_iso = group["warc_ts_iso"].iloc[0]
+
+    if kind == KIND_HTML_DOC:
+        r = group.iloc[0]
+        blocks = [struct_to_block(b) for b in (list(r["blocks"]) if r["blocks"] is not None else [])]
+        doc_json = json.dumps(
+            {
+                "document": {
+                    "metadata": {
+                        "source_filename": url,
+                        "total_pages": 1,
+                        "processed_at": ts_iso,
+                    },
+                    "content": [{"page_number": 1, "blocks": blocks}],
+                }
+            },
+            ensure_ascii=False,
+            indent=2,
+        )
+        row = {
+            "url": url,
+            "doc_kind": "html",
+            "markdown": r["clean_md"],
+            "extracted_text": r["extracted_text"],
+            "raw_md": "",
+            "doc_json": doc_json,
+            "blocks": [block_to_struct(b) for b in blocks],
+            "figures": [],
+            "n_pages": 1,
+        }
+        return pa.Table.from_pylist([row], schema=EXTRACTED_SCHEMA)
+
+    group = group.sort_values("page_no")
+    pages: List[Dict] = []
+    for _, r in group.iterrows():
+        blocks = [
+            struct_to_block(b)
+            for b in (list(r["blocks"]) if r["blocks"] is not None else [])
+        ]
+        figures = [
+            (f["name"], f["jpeg"])
+            for f in (list(r["figures"]) if r["figures"] is not None else [])
+        ]
+        pages.append(
+            {
+                "raw_text": r["raw_text"],
+                "clean_md": r["clean_md"] if r["clean_md"] is not None else None,
+                "blocks": blocks,
+                "figures": figures,
+            }
+        )
+    doc = merge_document(url, ts_iso, pages)
+    return pa.Table.from_pylist([doc_to_row(doc)], schema=EXTRACTED_SCHEMA)

@@ -1,0 +1,104 @@
+"""End-to-end: Ray pipeline output byte-identical per url to the sequential
+golden driver on the seeded synthetic corpus (FIXTURES.md §1-§4)."""
+
+import pyarrow as pa
+import pytest
+
+from deepseek_ocr_customvllm_ray.config import ExtractConfig
+from deepseek_ocr_customvllm_ray.pipelines.extract import build_extract_pipeline
+from deepseek_ocr_customvllm_ray.sources.corpus import generate_pages
+from deepseek_ocr_customvllm_ray.sources.golden import run_golden
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_pages(n_docs=40, seed=7)
+
+
+@pytest.fixture(scope="module")
+def golden(corpus):
+    return run_golden(corpus)
+
+
+@pytest.fixture(scope="module")
+def engine_result(ray_session, corpus):
+    import ray.data as rd
+
+    ds = rd.from_arrow(corpus)
+    out = build_extract_pipeline(ds, ExtractConfig(ocr_concurrency=2))
+    return out.to_pandas().sort_values("url").reset_index(drop=True)
+
+
+def test_corpus_has_families(corpus):
+    # sanity: both branches + dups present
+    payloads = corpus["html"].to_pylist()
+    kinds = {p[:4] == b"%PDF" for p in payloads}
+    assert kinds == {True, False}
+    urls = corpus["url"].to_pylist()
+    assert len(urls) > len(set(urls))  # duplicate urls present
+
+
+def test_same_urls(golden, engine_result):
+    g = sorted(golden["url"].to_pylist())
+    e = sorted(engine_result["url"].tolist())
+    assert g == e
+
+
+def test_byte_identical_core_columns(golden, engine_result):
+    gdf = golden.to_pandas().sort_values("url").reset_index(drop=True)
+    for col in ["markdown", "extracted_text", "raw_md", "doc_json", "doc_kind", "n_pages"]:
+        mismatches = [
+            (u, a, b)
+            for u, a, b in zip(gdf["url"], gdf[col], engine_result[col])
+            if a != b
+        ]
+        assert not mismatches, f"{col}: first mismatch {mismatches[0][:2]}"
+
+
+def test_blocks_and_figures_match(golden, engine_result):
+    gdf = golden.to_pandas().sort_values("url").reset_index(drop=True)
+
+    def norm_blocks(v):
+        return [
+            {k: (list(map(list, val)) if k == "rows" and val is not None else val)
+             for k, val in b.items()}
+            for b in (list(v) if v is not None else [])
+        ]
+
+    def norm_figs(v):
+        return [(f["name"], bytes(f["jpeg"])) for f in (list(v) if v is not None else [])]
+
+    for u, gb, eb in zip(gdf["url"], gdf["blocks"], engine_result["blocks"]):
+        assert norm_blocks(gb) == norm_blocks(eb), f"blocks mismatch for {u}"
+    for u, gf, ef in zip(gdf["url"], gdf["figures"], engine_result["figures"]):
+        assert norm_figs(gf) == norm_figs(ef), f"figures mismatch for {u}"
+
+
+def test_dedup_first_wins(golden, corpus):
+    # duplicated urls appear once, and the winner is the earliest warc_ts
+    urls = corpus["url"].to_pylist()
+    dup_url = next(u for u in urls if urls.count(u) > 1)
+    gdf = golden.to_pandas()
+    assert (gdf["url"] == dup_url).sum() == 1
+
+
+def test_multichunk_doc_present(golden):
+    # >40-page docs exercise chunk-boundary invariance
+    gdf = golden.to_pandas()
+    assert (gdf["n_pages"] > 40).any()
+
+
+def test_determinism_rerun(ray_session, corpus):
+    """Same input, fresh pipeline -> byte-identical output (retry safety)."""
+    import ray.data as rd
+
+    a = (
+        build_extract_pipeline(rd.from_arrow(corpus), ExtractConfig(ocr_concurrency=2))
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    b = (
+        build_extract_pipeline(rd.from_arrow(corpus), ExtractConfig(ocr_concurrency=3))
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    assert a["markdown"].tolist() == b["markdown"].tolist()
+    assert a["doc_json"].tolist() == b["doc_json"].tolist()
