@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``    — flagship extraction pipeline over sf0.001 documents
+  (wrapped as Common-Crawl-style pages per FIXTURES.md §5).
+- ``queries()``  — one entry per implemented operator/pipeline from
+  SURVEY.md §2 + the training-data operator families (dedup, similarity,
+  text analysis).
+- ``oracle_sql()`` — DuckDB equivalents where SQL can express the operator;
+  column names match the Ray results exactly.
 """
 
 from __future__ import annotations
@@ -18,27 +17,112 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from deepseek_ocr_customvllm_ray.pipelines import queries as q
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: documents -> pages ->
+    route/dedup/explode/OCR-actor/merge -> extracted documents Dataset."""
+    return q.q_extract_html("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # extraction contract (SURVEY §2.3/§2.4/§2.6)
+        "extract_html_text": q.q_extract_html,
+        "extract_pdf_markdown": q.q_extract_pdf_markdown,
+        # dedup family (SURVEY §2.8 + training-data ops)
+        "exact_dedup_keepers": q.q_exact_dedup_keepers,
+        "minhash_clusters": q.q_minhash_clusters,
+        "simhash_signatures": q.q_simhash_signatures,
+        # text analysis family
+        "token_counts": q.q_token_counts,
+        "quality_scores": q.q_quality_scores,
+        "langid_heuristic": q.q_langid_heuristic,
+        "doc_fingerprints": q.q_fingerprints,
+        # lineage / aggregation (SURVEY §2.6 G2 analog)
+        "length_buckets": q.q_length_buckets,
+        "source_lineage": q.q_source_lineage,
+        "lang_distribution": q.q_lang_distribution,
+        "top_sources_by_chars": q.q_top_sources_by_chars,
+        # similarity search
+        "embedding_knn": q.q_embedding_knn,
+        # relational primitives (aggregate / broadcast join / window / top-k)
+        "lineitem_pricing": q.q_lineitem_pricing,
+        "top_customers": q.q_top_customers,
+        "events_hourly": q.q_events_hourly,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_html_text": (
+            "SELECT CAST(doc_id AS VARCHAR) AS url, text AS extracted_text "
+            "FROM documents"
+        ),
+        "extract_pdf_markdown": (
+            "SELECT CAST(doc_id AS VARCHAR) AS url, "
+            "trim(text, ' ' || chr(9) || chr(10) || chr(13)) "
+            "|| chr(10) || chr(10) || chr(10) || chr(10) || chr(10) AS markdown "
+            "FROM documents"
+        ),
+        "exact_dedup_keepers": (
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "token_counts": (
+            "SELECT doc_id, CAST(length(string_split_regex(trim(text), '\\s+')) "
+            "AS BIGINT) AS n_tokens FROM documents"
+        ),
+        "quality_scores": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+            "CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens "
+            "FROM documents"
+        ),
+        "length_buckets": (
+            "SELECT CAST(floor(log2(n_chars)) AS BIGINT) AS bucket, "
+            "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars "
+            "FROM documents GROUP BY 1"
+        ),
+        "source_lineage": (
+            "SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+            "min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id "
+            "FROM documents GROUP BY source"
+        ),
+        "lang_distribution": (
+            "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+        ),
+        "top_sources_by_chars": (
+            "SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars "
+            "FROM documents GROUP BY source ORDER BY total_chars DESC LIMIT 5"
+        ),
+        "embedding_knn": (
+            "SELECT vec_id FROM ("
+            "  SELECT vec_id, list_cosine_similarity(embedding, "
+            "    (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS sim "
+            "  FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10)"
+        ),
+        "lineitem_pricing": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents, "
+            "count(*) AS count_order "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "top_customers": (
+            "SELECT c_mktsegment, "
+            "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents, "
+            "count(*) AS n_orders "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment ORDER BY revenue_cents DESC LIMIT 10"
+        ),
+        "events_hourly": (
+            "SELECT event_type, date_trunc('hour', ts) AS hour, "
+            "count(*) AS n_events, "
+            "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents "
+            "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+        ),
+        # minhash_clusters / simhash_signatures / langid_heuristic /
+        # doc_fingerprints: hashing/heuristic ops, not SQL-expressible ->
+        # rows-only checks; their semantics are pytest-verified on the
+        # engine's seeded corpus (tests/test_dedup.py, tests/test_analysis.py)
+    }

@@ -48,6 +48,9 @@ class ExtractConfig:
     """Knobs for the extraction pipeline."""
 
     skip_repeat: bool = DEFAULT_SKIP_REPEAT
+    # decode-time n-gram suppression (A4); disable for oracle-checkable runs
+    # where the emission must pass through verbatim
+    ngram_suppress: bool = True
     ocr_batch_size: int = DEFAULT_OCR_BATCH_SIZE
     ocr_concurrency: int = 4          # actor pool size for the OCR stage
     ngram_size: int = NGRAM_SIZE

@@ -40,6 +40,8 @@ def mock_decode(emission: str, cfg: ExtractConfig) -> str:
     through the no-repeat-n-gram suppressor (decode-time A4 analog), plus the
     EOS terminator vLLM includes (include_stop_str_in_output=True,
     model_init.py:54)."""
+    if not cfg.ngram_suppress:
+        return emission + EOS_TOKEN
     return (
         suppress_repeats_text(
             emission, cfg.ngram_size, cfg.ngram_window, cfg.ngram_whitelist

@@ -1,0 +1,313 @@
+"""Driver-contract query implementations (SURVEY.md §2 coverage).
+
+Each function takes ``sf_dir`` (a directory of the driver's parquet tables)
+and returns a Dataset / DataFrame / Arrow table.  The matching DuckDB oracle
+SQL lives in ``__ray_entry__.py``.  Column names are kept identical between
+the Ray result and the SQL (the driver hash-compares values after sorting
+columns by name).
+
+The ``documents`` table (doc_id, text, lang, source, n_chars) stands in for
+the pages table (doc_id -> url, text -> html payload) per FIXTURES.md §5;
+the byte-identity fixtures for the full extraction contract live in the
+pytest suite over the engine's own seeded corpus.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import ExtractConfig
+from ..sources.pdfpayload import build_pdf_payload
+from ..stages import analysis, dedup, similarity
+from .extract import build_extract_pipeline
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# --- documents-as-pages adapters -----------------------------------------
+
+_DOC_HTML_TEMPLATE = (
+    "<html><head><title>doc</title><script>x()</script></head><body>"
+    '<nav><a href="/">Home</a> <a href="/a">Archive</a> <a href="/b">About</a></nav>'
+    '<div class="sidebar"><a href="/1">one</a> <a href="/2">two</a> <a href="/3">three</a></div>'
+    '<div id="main-content"><p>{body}</p></div>'
+    "<footer>Copyright 2026. <a href=\"/tos\">Terms</a></footer>"
+    "</body></html>"
+)
+
+
+def docs_as_html_pages(batch: pa.Table) -> pa.Table:
+    """documents rows -> pages rows with the text wrapped in boilerplate
+    HTML; extraction must recover ``text`` byte-identically."""
+    urls = [str(d) for d in batch["doc_id"].to_pylist()]
+    payloads = [
+        _DOC_HTML_TEMPLATE.format(body=_html.escape(t or "")).encode("utf-8")
+        for t in batch["text"].to_pylist()
+    ]
+    n = len(urls)
+    import datetime as dt
+
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array([dt.datetime(2026, 1, 1)] * n, pa.timestamp("us")),
+            "html": pa.array(payloads, pa.binary()),
+            "lang": batch["lang"],
+        }
+    )
+
+
+def docs_as_pdf_pages(batch: pa.Table) -> pa.Table:
+    """documents rows -> pages rows whose payload is a one-page synthetic
+    PDF whose emission is the text; the mock OCR contract then makes
+    markdown = trim(text) + the page marker + chunk newline."""
+    urls = [str(d) for d in batch["doc_id"].to_pylist()]
+    payloads = [
+        build_pdf_payload([{"width": 1000, "height": 1400, "emission": t or ""}])
+        for t in batch["text"].to_pylist()
+    ]
+    import datetime as dt
+
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array([dt.datetime(2026, 1, 1)] * len(urls), pa.timestamp("us")),
+            "html": pa.array(payloads, pa.binary()),
+            "lang": batch["lang"],
+        }
+    )
+
+
+# --- extraction queries ---------------------------------------------------
+
+
+def q_extract_html(sf_dir: str):
+    """HTML branch round-trip: boilerplate-wrapped text -> extracted_text."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    pages = ds.map_batches(docs_as_html_pages, batch_format="pyarrow")
+    out = build_extract_pipeline(pages, ExtractConfig(ocr_concurrency=2))
+    return out.select_columns(["url", "extracted_text"])
+
+
+def q_extract_pdf_markdown(sf_dir: str):
+    """PDF branch contract on plain-text emissions (suppression off so the
+    transform is SQL-expressible)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    pages = ds.map_batches(docs_as_pdf_pages, batch_format="pyarrow")
+    cfg = ExtractConfig(ngram_suppress=False, ocr_concurrency=2)
+    out = build_extract_pipeline(pages, cfg)
+    return out.select_columns(["url", "markdown"])
+
+
+# --- dedup / analysis queries --------------------------------------------
+
+
+def q_exact_dedup_keepers(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.exact_dedup_keepers(ds, "text", "doc_id")
+
+
+def q_token_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        analysis.make_token_count_batch("text", "doc_id"), batch_format="pyarrow"
+    )
+
+
+def q_length_buckets(sf_dir: str):
+    """log2 byte-length histogram with per-batch partial aggregation before
+    the (tiny) groupby — the pre-aggregate pattern."""
+    ds = _read(sf_dir, "documents", ["n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        buckets = np.floor(np.log2(arr)).astype(np.int64)
+        uniq, inv = np.unique(buckets, return_inverse=True)
+        n = np.bincount(inv)
+        chars = np.bincount(inv, weights=arr).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(uniq, pa.int64()),
+            "n_docs_p": pa.array(n, pa.int64()),
+            "total_chars_p": pa.array(chars, pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(
+            Sum("n_docs_p", alias_name="n_docs"),
+            Sum("total_chars_p", alias_name="total_chars"),
+        )
+    )
+
+
+def q_source_lineage(sf_dir: str):
+    """Per-source lineage counters (G2 analog: per-partition metrics)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return ds.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"),
+        Min("doc_id", alias_name="min_doc_id"),
+        Max("doc_id", alias_name="max_doc_id"),
+    )
+
+
+def q_lang_distribution(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+def q_top_sources_by_chars(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+    agg = ds.groupby("source").aggregate(Sum("n_chars", alias_name="total_chars"))
+    return agg.sort("total_chars", descending=True).limit(5)
+
+
+def q_quality_scores(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        analysis.make_quality_batch("text", "doc_id"), batch_format="pyarrow"
+    )
+    return out.select_columns(["doc_id", "n_chars", "n_tokens"])
+
+
+def q_langid_heuristic(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        analysis.make_langid_batch("text", "doc_id"), batch_format="pyarrow"
+    )
+
+
+def q_fingerprints(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        analysis.make_fingerprint_batch("text", "doc_id"), batch_format="pyarrow"
+    )
+
+
+def q_minhash_clusters(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.minhash_near_dup_clusters(ds, "text", "doc_id", threshold=0.8)
+
+
+def q_simhash_signatures(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.simhash_signatures(ds, "text", "doc_id")
+
+
+def q_embedding_knn(sf_dir: str):
+    """Top-10 cosine neighbours of vec_id 0 (brute-force baseline)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q0 = ds.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"]
+    out = similarity.knn_brute(ds, np.asarray([q0]), "embedding", "vec_id", k=10)
+    return out[["id"]].rename(columns={"id": "vec_id"})
+
+
+# --- relational coverage (engine primitives over TPC-H-ish tables) --------
+
+
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-shaped aggregate; money summed in integer cents
+    (floor(x*100)) so the distributed sum is order-independent and matches
+    DuckDB bit-for-bit."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(batch["l_extendedprice"], 100.0)), pa.int64())
+        qty = pc.cast(batch["l_quantity"], pa.int64())
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty": qty,
+            "price_cents": cents,
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+def q_top_customers(sf_dir: str):
+    """Broadcast join: orders (fact) x customer (small side via ray.put),
+    then top-10 by revenue cents."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_of = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
+    ref = ray.put(seg_of)
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        keys = batch["o_custkey"].to_pylist()
+        segs = [lookup.get(k, "UNKNOWN") for k in keys]
+        cents = pc.cast(pc.floor(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64())
+        return pa.table({
+            "c_mktsegment": pa.array(segs, pa.string()),
+            "price_cents": cents,
+        })
+
+    agg = (
+        orders.map_batches(join_batch, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("price_cents", alias_name="revenue_cents"),
+            Count(alias_name="n_orders"),
+        )
+    )
+    return agg.sort("revenue_cents", descending=True).limit(10)
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate: events per (event_type, hour)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        cents = pc.cast(pc.floor(pc.multiply(batch["value"], 100.0)), pa.int64())
+        return pa.table({
+            "event_type": batch["event_type"],
+            "hour": hour,
+            "value_cents": cents,
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_cents", alias_name="sum_value_cents"),
+        )
+    )

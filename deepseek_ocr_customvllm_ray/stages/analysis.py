@@ -1,0 +1,82 @@
+"""Text-analysis stages: token counting, quality scoring, language ID,
+fingerprinting — vectorized ``map_batches`` wrappers over
+``functions/textstats.py`` kernels."""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import textstats as ts
+
+
+def make_token_count_batch(text_col: str, id_col: str):
+    """Whitespace token counts, fully vectorized via Arrow kernels
+    (split_pattern + list_value_length — no Python loop)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(
+            pc.split_pattern_regex(batch[text_col], pattern=r"\s+")
+        )
+        # split on a regex counts empty leading/trailing fields; texts are
+        # trimmed in this corpus, but guard by recomputing exact count for
+        # empty strings
+        n = pc.if_else(
+            pc.equal(pc.utf8_length(batch[text_col]), 0), pa.scalar(0, pa.int32()), toks
+        )
+        return pa.table({
+            "doc_id": batch[id_col],
+            "n_tokens": n.cast(pa.int64()),
+        })
+
+    return fn
+
+
+def make_quality_batch(text_col: str, id_col: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        rows = {
+            "doc_id": batch[id_col].to_pylist(),
+            "n_chars": [], "n_tokens": [], "mean_token_len": [],
+            "punct_ratio": [], "stopword_ratio": [], "digit_ratio": [],
+        }
+        for t in batch[text_col].to_pylist():
+            f = ts.quality_features(t or "")
+            for k in ("n_chars", "n_tokens", "mean_token_len", "punct_ratio",
+                      "stopword_ratio", "digit_ratio"):
+                rows[k].append(f[k])
+        return pa.table({
+            "doc_id": pa.array(rows["doc_id"]),
+            "n_chars": pa.array(rows["n_chars"], pa.int64()),
+            "n_tokens": pa.array(rows["n_tokens"], pa.int64()),
+            "mean_token_len": pa.array(rows["mean_token_len"], pa.float64()),
+            "punct_ratio": pa.array(rows["punct_ratio"], pa.float64()),
+            "stopword_ratio": pa.array(rows["stopword_ratio"], pa.float64()),
+            "digit_ratio": pa.array(rows["digit_ratio"], pa.float64()),
+        })
+
+    return fn
+
+
+def make_langid_batch(text_col: str, id_col: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        preds = [ts.detect_language(t or "") for t in batch[text_col].to_pylist()]
+        return pa.table({
+            "doc_id": batch[id_col],
+            "pred_lang": pa.array(preds, pa.string()),
+        })
+
+    return fn
+
+
+def make_fingerprint_batch(text_col: str, id_col: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        fps = [ts.doc_fingerprint(t or "") for t in batch[text_col].to_pylist()]
+        return pa.table({
+            "doc_id": batch[id_col],
+            "fingerprint": pa.array(fps, pa.int64()),
+        })
+
+    return fn

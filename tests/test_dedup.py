@@ -1,0 +1,127 @@
+"""Dedup family: exact, MinHash-LSH, SimHash, embedding near-dup."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from deepseek_ocr_customvllm_ray.functions import hashing as hx
+from deepseek_ocr_customvllm_ray.stages import dedup
+
+
+# --- kernel-level ---------------------------------------------------------
+
+
+class TestKernels:
+    def test_shingles(self):
+        assert hx.word_shingles("a b c d", 3) == {"a b c", "b c d"}
+        assert hx.word_shingles("a b", 3) == {"a b"}
+        assert hx.word_shingles("", 3) == set()
+
+    def test_minhash_estimates_jaccard(self):
+        a, b = hx.minhash_params(128)
+        t1 = "the quick brown fox jumps over the lazy dog " * 5
+        t2 = "the quick brown fox leaps over the lazy dog " * 5
+        s1 = hx.minhash_signature(hx.shingle_hashes(t1), a, b)
+        s2 = hx.minhash_signature(hx.shingle_hashes(t2), a, b)
+        est = hx.signature_similarity(s1, s2)
+        true = hx.jaccard(t1, t2)
+        assert abs(est - true) < 0.2
+        assert hx.signature_similarity(s1, s1) == 1.0
+
+    def test_minhash_deterministic_across_calls(self):
+        a, b = hx.minhash_params(64)
+        s1 = hx.minhash_signature(hx.shingle_hashes("hello world foo bar"), a, b)
+        s2 = hx.minhash_signature(hx.shingle_hashes("hello world foo bar"), a, b)
+        assert (s1 == s2).all()
+
+    def test_simhash_similar_texts_close(self):
+        t1 = "word " * 50 + "alpha beta gamma delta"
+        t2 = "word " * 50 + "alpha beta gamma epsilon"
+        h1, h2 = hx.simhash64(t1), hx.simhash64(t2)
+        assert hx.hamming64(h1, h2) < 16
+        t3 = "completely different content about other topics entirely here"
+        assert hx.hamming64(h1, hx.simhash64(t3)) > hx.hamming64(h1, h2)
+
+    def test_simhash_int64_safe(self):
+        assert 0 <= hx.simhash64("x y z") < 2 ** 63
+
+
+# --- stage-level ----------------------------------------------------------
+
+
+def _docs_table():
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = base.replace("runs", "sprints")
+    other = "completely unrelated text about ray data pipelines and arrow batches"
+    texts = [base, base, near, other, "short one", "short one"]
+    return pa.table({"doc_id": list(range(len(texts))), "text": texts})
+
+
+class TestExactDedup:
+    def test_keepers(self, ray_session):
+        import ray.data as rd
+
+        out = dedup.exact_dedup_keepers(rd.from_arrow(_docs_table()), "text", "doc_id")
+        keepers = sorted(out.to_pandas()["doc_id"].tolist())
+        assert keepers == [0, 2, 3, 4]
+
+    def test_full_rows(self, ray_session):
+        import ray.data as rd
+
+        out = dedup.exact_dedup(rd.from_arrow(_docs_table()), "text", "doc_id")
+        df = out.to_pandas()
+        assert sorted(df["doc_id"]) == [0, 2, 3, 4]
+        assert "text" in df.columns
+
+
+class TestMinhashLsh:
+    def test_clusters(self, ray_session):
+        import ray.data as rd
+
+        df = dedup.minhash_near_dup_clusters(
+            rd.from_arrow(_docs_table()), "text", "doc_id",
+            num_perm=128, n_bands=32, threshold=0.5, shingle_k=3,
+        )
+        cl = dict(zip(df["id"], df["cluster_id"]))
+        # exact dup pair 0/1 must cluster; near pair 2 likely joins 0
+        assert cl[0] == cl[1]
+        assert cl[0] == cl[2]
+        # unrelated doc stays alone
+        assert cl[3] == 3
+
+    def test_no_false_merge_of_disjoint(self, ray_session):
+        import ray.data as rd
+
+        texts = [f"totally unique document number {i} with words {i*7} {i*13}" for i in range(10)]
+        t = pa.table({"doc_id": list(range(10)), "text": texts})
+        df = dedup.minhash_near_dup_clusters(rd.from_arrow(t), "text", "doc_id", threshold=0.8)
+        assert (df["id"] == df["cluster_id"]).all()
+
+
+class TestSimhash:
+    def test_pairs(self, ray_session):
+        import ray.data as rd
+
+        out = dedup.simhash_near_dup_pairs(rd.from_arrow(_docs_table()), "text", "doc_id", max_hamming=3)
+        pairs = set(zip(out["id_a"], out["id_b"]))
+        assert (0, 1) in pairs  # identical docs collide at hamming 0
+        assert (4, 5) in pairs
+
+
+class TestEmbeddingNearDup:
+    def test_pairs(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal(16)
+        vecs = [base, base + rng.standard_normal(16) * 0.01, rng.standard_normal(16), -base]
+        t = pa.table({
+            "vec_id": list(range(4)),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        })
+        out = dedup.embedding_near_dup_pairs(
+            rd.from_arrow(t), "embedding", "vec_id", threshold=0.98
+        )
+        pairs = set(zip(out["id_a"], out["id_b"]))
+        assert (0, 1) in pairs
+        assert all(p == (0, 1) for p in pairs)
