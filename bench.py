@@ -1,0 +1,173 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ...}
+
+``--scaling`` runs the headline pipeline in two fresh processes
+(num_cpus=8 and num_cpus=32) on the same input and reports both throughputs
+plus the scaling efficiency (sandbox stand-in for the N vs 4N node
+criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# Headline corpus: the engine's own seeded generator at a size where the job
+# is compute-bound (~280 CPU-seconds of extraction work), so the two-level
+# scaling measurement reflects pipeline scalability rather than fixed
+# session overhead.  Generated once, cached on disk, shared by both scaling
+# runs (deterministic: pure function of the parameters).
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "72000"))
+BENCH_DIR = os.environ.get("GRAFT_BENCH_DIR", "/tmp/ray_graft_bench")
+BENCH_CORPUS_KW = dict(
+    seed=42, pdf_fraction=0.6, page_mu=1.6, page_sigma=0.8, words_scale=16,
+    long_doc_every=500,
+)
+
+
+def ensure_corpus() -> str:
+    path = os.path.join(BENCH_DIR, f"pages_{BENCH_DOCS}_v2")
+    marker = path + ".done"
+    if not (os.path.isdir(path) and os.path.exists(marker)):
+        os.makedirs(BENCH_DIR, exist_ok=True)
+        from deepseek_ocr_customvllm_ray.sources.corpus import write_corpus_sharded
+
+        write_corpus_sharded(path, n_shards=64, n_docs=BENCH_DOCS, **BENCH_CORPUS_KW)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from deepseek_ocr_customvllm_ray.pipelines import queries as q
+
+    # warm the OS page cache (untimed) so we measure compute+shuffle
+    import pyarrow.parquet as pq
+
+    for t in ("documents", "lineitem", "embeddings", "events", "orders", "customer"):
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            pq.read_table(p)
+
+    n_docs = pq.ParquetFile(os.path.join(SF_DIR, "documents.parquet")).metadata.num_rows
+
+    timings: dict = {}
+
+    def timed(name, fn, consume="count"):
+        t0 = time.perf_counter()
+        res = fn(SF_DIR)
+        if hasattr(res, "count"):
+            n = res.count()
+        elif hasattr(res, "__len__"):
+            n = len(res)
+        else:
+            n = 0
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return n
+
+    # headline: the flagship extraction pipeline over the engine's own
+    # Common-Crawl-style corpus (both branches, dedup, figure crops, merge)
+    corpus = ensure_corpus()
+    from deepseek_ocr_customvllm_ray.config import ExtractConfig
+    from deepseek_ocr_customvllm_ray.pipelines.extract import (
+        build_extract_pipeline_maponly,
+    )
+
+    cfg = ExtractConfig(ocr_concurrency=NUM_CPUS, shuffle_partitions=2 * NUM_CPUS)
+    # warm OS page cache + spawn the full Ray worker pool (untimed): one
+    # identity pass over every input block
+    from deepseek_ocr_customvllm_ray.pipelines.extract import read_pages as _rp
+
+    _rp(corpus).map_batches(lambda t: t, batch_format="pyarrow").count()
+    t0 = time.perf_counter()
+    n_extracted = build_extract_pipeline_maponly(corpus, cfg).count()
+    headline = time.perf_counter() - t0
+    timings["extract_flagship_maponly"] = round(headline, 3)
+
+    # driver-table variants (sf-scaled, oracle-checked shapes)
+    timed("extract_html_text", q.q_extract_html)
+    timed("extract_pdf_markdown", q.q_extract_pdf_markdown)
+
+    timed("exact_dedup_keepers", q.q_exact_dedup_keepers)
+    timed("minhash_clusters", q.q_minhash_clusters)
+    timed("token_counts", q.q_token_counts)
+    timed("quality_scores", q.q_quality_scores)
+    timed("langid_heuristic", q.q_langid_heuristic)
+    timed("embedding_knn", q.q_embedding_knn)
+    timed("lineitem_pricing", q.q_lineitem_pricing)
+    timed("top_customers", q.q_top_customers)
+    timed("events_hourly", q.q_events_hourly)
+    timed("source_lineage", q.q_source_lineage)
+
+    out = {
+        "metric": "extract_e2e_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_docs": n_extracted,
+        "docs_per_sec": round(n_extracted / headline, 2) if headline > 0 else None,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    ensure_corpus()  # generate once, untimed, shared by both runs
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    tp_lo = r_lo["docs_per_sec"]
+    tp_hi = r_hi["docs_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "docs_per_sec_8": tp_lo,
+        "docs_per_sec_32": tp_hi,
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -52,7 +52,14 @@ class ExtractConfig:
     # where the emission must pass through verbatim
     ngram_suppress: bool = True
     ocr_batch_size: int = DEFAULT_OCR_BATCH_SIZE
-    ocr_concurrency: int = 4          # actor pool size for the OCR stage
+    ocr_concurrency: int = 8          # actor pool MAX size for the OCR stage
+    # hash partitions for the url shuffles; scale with cluster size (rule of
+    # thumb: ~2x total cores, and at 100 TB enough that one partition's pages
+    # fit a worker heap)
+    shuffle_partitions: int = 32
+    # read granularity: None = Ray's default block splitting; set to
+    # ~8-16x total cores for tight task packing on small-file inputs
+    read_blocks: int = None
     ngram_size: int = NGRAM_SIZE
     ngram_window: int = NGRAM_WINDOW
     ngram_whitelist: frozenset = field(default_factory=lambda: NGRAM_WHITELIST)

@@ -39,19 +39,70 @@ def suppress_repeats(
         raise ValueError(f"`window_size` has to be a strictly positive integer, but is {window_size}")
     wl: Set[str] = set(whitelist or ())
     out: List[str] = []
-    for tok in tokens:
-        if len(out) >= ngram_size and tok not in wl:
-            prefix = tuple(out[-(ngram_size - 1):]) if ngram_size > 1 else ()
+    if ngram_size == 1:
+        # degenerate case: every previously-seen in-window token is banned
+        for tok in tokens:
             start = max(0, len(out) - window_size)
-            end = len(out) - ngram_size + 1
-            banned: Set[str] = set()
-            for i in range(start, end):
-                ngram = tuple(out[i : i + ngram_size])
-                if ngram[:-1] == prefix:
-                    banned.add(ngram[-1])
-            if tok in banned:
+            if tok not in wl and tok in out[start : len(out) + 1]:
                 continue
+            out.append(tok)
+        return out
+
+    # Rolling index: hash((n-1)-gram starting at i) -> [i, ...], built as
+    # tokens are emitted.  Banning check = one dict lookup + exact verify of
+    # the few in-window candidates — O(1) amortized vs O(window * n) for the
+    # naive scan (the reference's torch implementation scans; the semantics
+    # here are identical, including the window arithmetic).
+    P = ngram_size - 1
+    tok_hash: dict = {}
+
+    def h(w: str) -> int:
+        v = tok_hash.get(w)
+        if v is None:
+            import zlib
+
+            v = zlib.crc32(w.encode("utf-8"))
+            tok_hash[w] = v
+        return v
+
+    B = 1000003
+    M = (1 << 61) - 1
+    BP = pow(B, P - 1, M)  # for removing the oldest token from the window
+    occ: dict = {}  # prefix_hash -> list of start positions
+    roll = 0  # hash of the last P emitted tokens (when len(out) >= P)
+
+    for tok in tokens:
+        L = len(out)
+        if L >= ngram_size and tok not in wl:
+            # candidate (n-1)-gram starts i in [max(0, L-window), L-n+1):
+            # ban tok if out[i:i+P] == out[L-P:L] and out[i+P] == tok
+            lo = max(0, L - window_size)
+            hi = L - ngram_size + 1  # exclusive
+            banned = False
+            positions = occ.get(roll, ())
+            # positions are appended in increasing order; scan newest-first
+            # and stop once below the window so periodic inputs stay O(window)
+            for i in reversed(positions):
+                if i < lo:
+                    break
+                if i < hi and out[i + P] == tok and out[i : i + P] == out[L - P : L]:
+                    banned = True
+                    break
+            if banned:
+                continue
+        # emit tok; update rolling hash + index for the P-gram ENDING at the
+        # new position (i.e. starting at L - P + 1)
         out.append(tok)
+        L = len(out)
+        if L >= P:
+            if L == P:
+                r = 0
+                for w in out:
+                    r = (r * B + h(w)) % M
+                roll = r
+            else:
+                roll = ((roll - h(out[L - P - 1]) * BP) * B + h(out[L - 1])) % M
+            occ.setdefault(roll, []).append(L - P)
     return out
 
 

@@ -34,8 +34,9 @@ from ..stages.ocr_stage import (
     MockOcrEngine,
     explode_documents,
     make_postprocess_page_batch,
-    merge_page_group,
+    merge_partition,
 )
+from ..stages.partition import with_hash_partition
 from ..stages.validate import make_route_batch
 
 INPUT_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
@@ -60,7 +61,7 @@ def build_extract_pipeline(ds, cfg: ExtractConfig = None, dedup: bool = True):
 
     ds = ds.map_batches(make_route_batch(cfg.max_payload_mb), batch_format="pyarrow")
     if dedup:
-        ds = dedup_by_url(ds)
+        ds = dedup_by_url(ds, num_partitions=cfg.shuffle_partitions)
 
     pages = ds.map_batches(explode_documents, batch_format="pyarrow")
     pages = pages.map_batches(
@@ -68,11 +69,139 @@ def build_extract_pipeline(ds, cfg: ExtractConfig = None, dedup: bool = True):
         fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         batch_size=cfg.ocr_batch_size,
-        concurrency=cfg.ocr_concurrency,
+        concurrency=(1, cfg.ocr_concurrency),
         num_cpus=1,
     )
     pages = pages.map_batches(make_postprocess_page_batch(cfg), batch_format="pyarrow")
-    return pages.groupby("url").map_groups(merge_page_group, batch_format="pandas")
+    # merge: hash-partition page rows by url (groups co-located), then one
+    # vectorized merge per partition — the map_groups(url) semantics (G1)
+    # without a Python call per url
+    pages = with_hash_partition(pages, "url", cfg.shuffle_partitions)
+    return pages.groupby("_part").map_groups(merge_partition, batch_format="pyarrow")
+
+
+def build_extract_pipeline_fused(ds, cfg: ExtractConfig = None, dedup: bool = True):
+    """Single-shuffle variant: hash-partition raw doc rows by url once, then
+    run dedup + the ENTIRE per-doc extraction inside one vectorized task per
+    partition (``sources.golden.extract_document`` — the exact serial
+    contract — applied doc-by-doc within the partition).
+
+    Trade-off vs :func:`build_extract_pipeline`:
+    - one all-to-all instead of two; no per-page Arrow struct round-trips
+      (≈3-5x less CPU at equal output) — the preferred CPU-extraction path;
+    - a document is processed by ONE task, so a pathological giant doc
+      serializes within its partition (partition count and the byte-length
+      bucketing bound this), and a GPU OCR engine cannot batch across docs.
+      For GPU deployments use the page-exploded pipeline, which feeds an
+      actor pool page rows.
+    Both paths are byte-identical (tests/test_pipeline_e2e.py).
+    """
+    from ..sources.golden import extract_document, doc_to_row
+    from ..sources.golden import EXTRACTED_SCHEMA as _SCHEMA
+
+    cfg = cfg or ExtractConfig()
+    ds = ds.map_batches(make_route_batch(cfg.max_payload_mb), batch_format="pyarrow")
+    ds = with_hash_partition(ds, "url", cfg.shuffle_partitions)
+
+    def process_partition(batch) -> "pa.Table":
+        import hashlib
+
+        import pyarrow as pa
+
+        urls = batch["url"].to_pylist()
+        tss = batch["warc_ts"].to_pylist()
+        payloads = batch["html"].to_pylist()
+        if dedup:
+            best = {}
+            for u, ts, p in zip(urls, tss, payloads):
+                key = (ts, hashlib.sha1(p).hexdigest())
+                if u not in best or key < best[u][0]:
+                    best[u] = (key, ts, p)
+            items = sorted(best.items())
+            rows_in = [(u, ts, p) for u, (_, ts, p) in items]
+        else:
+            rows_in = list(zip(urls, tss, payloads))
+        docs = []
+        for u, ts, p in rows_in:
+            doc = extract_document(u, ts.isoformat(), p, cfg)
+            if doc is not None:
+                docs.append(doc_to_row(doc))
+        if not docs:
+            return _SCHEMA.empty_table()
+        return pa.Table.from_pylist(docs, schema=_SCHEMA)
+
+    return ds.groupby("_part").map_groups(process_partition, batch_format="pyarrow")
+
+
+def build_extract_pipeline_maponly(
+    pages_path, cfg: ExtractConfig = None, dedup: bool = True
+):
+    """Shuffle-free flagship path: payloads NEVER move through an all-to-all.
+
+    1. meta pass: read ONLY (url, warc_ts) — column-pruned, payload bytes
+       stay in storage — and resolve duplicate-url winners with a tiny
+       groupby (stages/dedup_meta.py);
+    2. broadcast the winner map (``ray.put`` once, read per task);
+    3. extraction pass: read full columns, route/validate, drop loser rows
+       with the broadcast predicate, then extract each doc inline
+       (``sources.golden.extract_document`` — the serial contract) in
+       embarrassingly-parallel ``map_batches`` tasks.
+
+    Linear scaling by construction: the only synchronisation is the tiny
+    meta groupby.  Trade-offs: the input is read 1+epsilon times (meta pass
+    reads 2 small columns; ties read a handful of payloads), and a giant
+    doc serializes within its task (page-explode path covers that case).
+    """
+    import ray
+
+    from ..sources.golden import EXTRACTED_SCHEMA as _SCHEMA
+    from ..sources.golden import doc_to_row, extract_document
+    from ..stages.dedup_meta import make_winner_filter
+
+    from ..stages.dedup_meta import compute_dup_winners_local
+
+    cfg = cfg or ExtractConfig()
+    clone_rows = None
+    if dedup:
+        # driver-side meta resolution (url+ts columns only); swap for the
+        # distributed compute_dup_winners above ~10^7 input rows
+        winners, clone_rows = compute_dup_winners_local(pages_path)
+    else:
+        winners = {}
+    winners_ref = ray.put(winners)
+
+    read_kw = {}
+    if cfg.read_blocks:
+        read_kw["override_num_blocks"] = cfg.read_blocks
+    ds = read_pages(pages_path, **read_kw)
+    ds = ds.map_batches(make_route_batch(cfg.max_payload_mb), batch_format="pyarrow")
+    ds = ds.map_batches(make_winner_filter(winners_ref), batch_format="pyarrow")
+    if clone_rows is not None:
+        # canonical rows for exact-clone urls rejoin AFTER the loser filter
+        import ray.data as rd
+
+        clones = rd.from_arrow(clone_rows).map_batches(
+            make_route_batch(cfg.max_payload_mb), batch_format="pyarrow"
+        )
+        ds = ds.union(clones)
+
+    def extract_batch(batch) -> "pa.Table":
+        import pyarrow as pa
+
+        docs = []
+        for u, ts, p in zip(
+            batch["url"].to_pylist(),
+            batch["warc_ts"].to_pylist(),
+            batch["html"].to_pylist(),
+        ):
+            doc = extract_document(u, ts.isoformat(), p, cfg)
+            if doc is not None:
+                docs.append(doc_to_row(doc))
+        if not docs:
+            return _SCHEMA.empty_table()
+        return pa.Table.from_pylist(docs, schema=_SCHEMA)
+
+    return ds.map_batches(extract_batch, batch_format="pyarrow")
 
 
 def run_extract(pages_path, out_dir: Optional[str] = None, cfg: ExtractConfig = None):

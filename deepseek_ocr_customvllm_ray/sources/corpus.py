@@ -38,7 +38,11 @@ _HOT_HOST = "hot.example.com"
 _EPOCH = _dt.datetime(2026, 1, 1)
 
 
+_WORDS_SCALE = 1  # set by generate_pages; scales emission sizes for bench corpora
+
+
 def _words(rng: np.random.Generator, n: int) -> str:
+    n = n * _WORDS_SCALE
     return " ".join(_WORDS[i] for i in rng.integers(0, len(_WORDS), n))
 
 
@@ -206,6 +210,9 @@ def generate_pages(
     pdf_fraction: float = 0.45,
     dup_fraction: float = 0.06,
     long_doc_every: int = 25,
+    page_mu: float = 0.7,
+    page_sigma: float = 0.8,
+    words_scale: int = 1,
 ) -> pa.Table:
     """Build the synthetic pages table.
 
@@ -214,6 +221,8 @@ def generate_pages(
     duplicate urls are appended at the end with LATER warc_ts and different
     payloads (dedup keeps the earliest).
     """
+    global _WORDS_SCALE
+    _WORDS_SCALE = max(1, int(words_scale))
     rng = np.random.default_rng(seed)
     urls: List[str] = []
     ts: List[_dt.datetime] = []
@@ -230,7 +239,7 @@ def generate_pages(
                 n_pages = int(rng.integers(41, 50))  # multi-chunk fixture
             else:
                 # log-normal-ish page-count skew
-                n_pages = max(1, int(rng.lognormal(0.7, 0.8)))
+                n_pages = max(1, int(rng.lognormal(page_mu, page_sigma)))
             payload = _make_pdf(rng, n_pages)
             fallback = _words(rng, 12)
         else:
@@ -269,5 +278,29 @@ def write_corpus(path: str, **kwargs) -> pa.Table:
     import pyarrow.parquet as pq
 
     table = generate_pages(**kwargs)
-    pq.write_table(table, path)
+    pq.write_table(table, path, row_group_size=512)
     return table
+
+
+def write_corpus_sharded(dir_path: str, n_shards: int = 32, **kwargs) -> int:
+    """Write the corpus as a directory of shard files (the realistic input
+    layout — a 100 TB crawl is tens of thousands of shards; a single file
+    serializes the read).  Small row groups let readers split further."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(dir_path, exist_ok=True)
+    table = generate_pages(**kwargs)
+    n = table.num_rows
+    per = (n + n_shards - 1) // n_shards
+    for i in range(n_shards):
+        lo = i * per
+        if lo >= n:
+            break
+        pq.write_table(
+            table.slice(lo, min(per, n - lo)),
+            os.path.join(dir_path, f"part-{i:05d}.parquet"),
+            row_group_size=256,
+        )
+    return n

@@ -1,0 +1,183 @@
+"""Metadata-only URL dedup: resolve duplicate-url winners WITHOUT shuffling
+payloads.
+
+The exact-dedup guard (SURVEY §2.8) keyed on url needs one winner per url:
+min (warc_ts, sha1(payload)).  Shuffling full rows to co-locate urls moves
+every payload byte through the object store; but the winner is decidable
+from (url, warc_ts) alone except for timestamp ties, so:
+
+- pass A: read ONLY (url, warc_ts) (column pruning — payload bytes never
+  leave storage), groupby(url) -> dup urls, their min_ts, and the
+  multiplicity at min_ts;
+- pass B (tie urls only, usually none): read payloads for those urls,
+  sha1-hash, winner = min sha; exact-clone rows (same url+ts+sha) keep the
+  single fetched canonical row;
+- broadcast the winner map (``ray.put`` once) and filter rows in the main
+  extraction pass with a vectorized predicate.
+
+Scale note: the broadcast map holds only DUPLICATE urls.  At crawl scale
+with a high dup fraction, swap the broadcast for a hash-partitioned
+semi-join on url (the shuffle path in ``dedup_url.py``) — both implement
+the same contract; pick by dup-set size.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, Optional, Tuple
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def compute_dup_winners_local(pages_path) -> Tuple[dict, Optional[pa.Table]]:
+    """Driver-side fast path: the meta columns (url, warc_ts) of the whole
+    input are a few bytes per row — for inputs up to ~10^7 rows reading them
+    into the driver and resolving winners with pandas is faster than any
+    distributed groupby (no shuffle, no task overhead).  Above that, use
+    :func:`compute_dup_winners` (same contract, distributed).
+    """
+    import pyarrow.dataset as pads
+
+    dataset = pads.dataset(pages_path, format="parquet")
+    meta = dataset.to_table(columns=["url", "warc_ts"]).to_pandas()
+    counts = meta["url"].value_counts()
+    dup_urls = set(counts[counts > 1].index)
+    if not dup_urls:
+        return {}, None
+    dmeta = meta[meta["url"].isin(dup_urls)]
+    min_ts = dmeta.groupby("url")["warc_ts"].min()
+    at_min = dmeta.merge(min_ts.rename("min_ts"), on="url")
+    at_min = at_min[at_min["warc_ts"] == at_min["min_ts"]]
+    k = at_min["url"].value_counts()
+    tie_urls = set(k[k > 1].index)
+
+    winners: Dict[str, Tuple] = {
+        u: (ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts, None)
+        for u, ts in min_ts.items()
+        if u not in tie_urls
+    }
+    clone_rows = None
+    if tie_urls:
+        tied = dataset.to_table(
+            filter=pads.field("url").isin(sorted(tie_urls))
+        )
+        best_rows: Dict[str, Tuple] = {}
+        mt = {u: min_ts[u] for u in tie_urls}
+        for i in range(tied.num_rows):
+            u = tied["url"][i].as_py()
+            ts = tied["warc_ts"][i].as_py()
+            if ts != (mt[u].to_pydatetime() if hasattr(mt[u], "to_pydatetime") else mt[u]):
+                continue
+            sha = hashlib.sha1(tied["html"][i].as_py()).hexdigest()
+            if u not in best_rows or sha < best_rows[u][0]:
+                best_rows[u] = (sha, tied.slice(i, 1))
+        clone_tables = []
+        for u, (sha, row) in best_rows.items():
+            winners[u] = ("__CLONE__", None)
+            clone_tables.append(row)
+        clone_rows = pa.concat_tables(clone_tables) if clone_tables else None
+    return winners, clone_rows
+
+
+def compute_dup_winners(meta_ds, payload_ds=None):
+    """meta_ds: Dataset[(url, warc_ts)] -> (winners, clone_rows).
+
+    winners: {url: (min_ts, min_sha_or_None)} for DUPLICATED urls only.
+    clone_rows: pa.Table of canonical full rows for urls whose winner is an
+    exact clone set (same url, ts, sha appearing >1 time) — these are
+    excluded from the map-only filter and unioned back by the caller.
+    ``payload_ds`` (full-column Dataset) is required only when ties exist.
+    """
+    from ray.data.aggregate import Count, Min
+
+    agg = meta_ds.groupby("url").aggregate(
+        Count(alias_name="n"), Min("warc_ts", alias_name="min_ts")
+    )
+    dups = agg.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
+    ).to_pandas()
+    if len(dups) == 0:
+        return {}, None
+    min_ts_of = dict(zip(dups["url"], dups["min_ts"]))
+
+    # multiplicity at (url, min_ts): a second tiny pass over the meta stream
+    import ray
+
+    dup_ref = ray.put(min_ts_of)
+
+    def at_min(batch: pa.Table) -> pa.Table:
+        m = ray.get(dup_ref)
+        urls = batch["url"].to_pylist()
+        tss = batch["warc_ts"].to_pylist()
+        keep = [u in m and ts == m[u] for u, ts in zip(urls, tss)]
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    at_min_counts = (
+        meta_ds.map_batches(at_min, batch_format="pyarrow")
+        .groupby("url")
+        .aggregate(Count(alias_name="k"))
+        .to_pandas()
+    )
+    tie_urls = set(at_min_counts[at_min_counts["k"] > 1]["url"])
+
+    winners: Dict[str, Tuple] = {
+        u: (ts, None) for u, ts in min_ts_of.items() if u not in tie_urls
+    }
+    clone_rows = None
+    if tie_urls:
+        if payload_ds is None:
+            raise ValueError("timestamp ties present; payload_ds required")
+        tie_ref = ray.put((tie_urls, min_ts_of))
+
+        def tie_rows(batch: pa.Table) -> pa.Table:
+            tset, m = ray.get(tie_ref)
+            urls = batch["url"].to_pylist()
+            tss = batch["warc_ts"].to_pylist()
+            keep = [u in tset and ts == m[u] for u, ts in zip(urls, tss)]
+            return batch.filter(pa.array(keep, pa.bool_()))
+
+        cand = payload_ds.map_batches(tie_rows, batch_format="pyarrow").to_arrow_refs()
+        import ray as _r
+
+        tables = [_r.get(r) for r in cand]
+        tied = pa.concat_tables([t for t in tables if t.num_rows]) if tables else None
+        best_rows: Dict[str, Tuple] = {}
+        if tied is not None:
+            for i in range(tied.num_rows):
+                u = tied["url"][i].as_py()
+                sha = hashlib.sha1(tied["html"][i].as_py()).hexdigest()
+                if u not in best_rows or sha < best_rows[u][0]:
+                    best_rows[u] = (sha, tied.slice(i, 1))
+        clone_tables = []
+        for u, (sha, row) in best_rows.items():
+            winners[u] = ("__CLONE__", None)  # drop ALL rows in the map pass
+            clone_tables.append(row)
+        clone_rows = pa.concat_tables(clone_tables) if clone_tables else None
+    return winners, clone_rows
+
+
+def make_winner_filter(winners_ref):
+    """Vectorized keep-predicate over a broadcast winner map: non-dup urls
+    pass; dup urls pass only the winning (ts) row; clone urls never pass
+    (their canonical row is unioned separately)."""
+    import ray
+
+    def fn(batch: pa.Table) -> pa.Table:
+        winners = ray.get(winners_ref)
+        if not winners:
+            return batch
+        urls = batch["url"].to_pylist()
+        tss = batch["warc_ts"].to_pylist()
+        keep = []
+        for u, ts in zip(urls, tss):
+            w = winners.get(u)
+            if w is None:
+                keep.append(True)
+            elif w[0] == "__CLONE__":
+                keep.append(False)
+            else:
+                keep.append(ts == w[0])
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    return fn

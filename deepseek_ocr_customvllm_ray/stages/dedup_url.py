@@ -17,6 +17,8 @@ import pandas as pd
 
 
 def keep_earliest(group: pd.DataFrame) -> pd.DataFrame:
+    """Winner row for one url (used by tests; the pipeline uses the
+    vectorized per-block path below)."""
     if len(group) == 1:
         return group
     keys = [
@@ -27,6 +29,36 @@ def keep_earliest(group: pd.DataFrame) -> pd.DataFrame:
     return group.iloc[[best]]
 
 
-def dedup_by_url(ds):
-    """``Dataset -> Dataset`` with one row per url."""
-    return ds.groupby("url").map_groups(keep_earliest, batch_format="pandas")
+def dedup_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized keep-earliest within one hash partition: rows of a url are
+    co-located by the partitioner, so a partition-local drop_duplicates is
+    the global answer.  The sha1 tie-break is computed ONLY for duplicated
+    urls (the rare case)."""
+    if "_part" in df.columns:
+        df = df.drop(columns=["_part"])
+    dup_mask = df["url"].duplicated(keep=False)
+    if not dup_mask.any():
+        return df
+    uniq = df[~dup_mask]
+    dups = df[dup_mask].copy()
+    dups["_sha"] = [hashlib.sha1(p).hexdigest() for p in dups["html"]]
+    dups = (
+        dups.sort_values(["url", "warc_ts", "_sha"], kind="mergesort")
+        .drop_duplicates("url", keep="first")
+        .drop(columns=["_sha"])
+    )
+    return pd.concat([uniq, dups], ignore_index=True)
+
+
+def dedup_by_url(ds, num_partitions: int = 64):
+    """``Dataset -> Dataset`` with one deterministic row per url.
+
+    Hash-partition by crc32(url) % N (one all-to-all of doc rows keyed on a
+    small int — cheap to sort) then ONE vectorized drop-duplicates call per
+    partition.  Semantically identical to ``groupby(url).map_groups(keep_
+    earliest)`` but pays N Python calls instead of one per url — at 10^9
+    urls the per-group calls dominate."""
+    from .partition import with_hash_partition
+
+    ds = with_hash_partition(ds, "url", num_partitions)
+    return ds.groupby("_part").map_groups(dedup_block, batch_format="pandas")

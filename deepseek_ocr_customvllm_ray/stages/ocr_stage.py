@@ -197,16 +197,13 @@ def make_postprocess_page_batch(cfg: ExtractConfig):
     return postprocess_page_batch
 
 
-def merge_page_group(group: pd.DataFrame) -> pa.Table:
-    """One url's rows -> one document row.  PDF: in-group sort by page_no
-    then ordered concat (G1).  HTML: unwrap the single processed row."""
-    kind = group["kind"].iloc[0]
-    url = group["url"].iloc[0]
-    ts_iso = group["warc_ts_iso"].iloc[0]
-
-    if kind == KIND_HTML_DOC:
-        r = group.iloc[0]
-        blocks = [struct_to_block(b) for b in (list(r["blocks"]) if r["blocks"] is not None else [])]
+def _merge_rows_to_doc(rows: List[dict]) -> dict:
+    """Processed-page dicts (one url) -> extracted-doc row dict."""
+    url = rows[0]["url"]
+    ts_iso = rows[0]["warc_ts_iso"]
+    if rows[0]["kind"] == KIND_HTML_DOC:
+        r = rows[0]
+        blocks = [struct_to_block(b) for b in (r["blocks"] or [])]
         doc_json = json.dumps(
             {
                 "document": {
@@ -221,7 +218,7 @@ def merge_page_group(group: pd.DataFrame) -> pa.Table:
             ensure_ascii=False,
             indent=2,
         )
-        row = {
+        return {
             "url": url,
             "doc_kind": "html",
             "markdown": r["clean_md"],
@@ -232,26 +229,43 @@ def merge_page_group(group: pd.DataFrame) -> pa.Table:
             "figures": [],
             "n_pages": 1,
         }
-        return pa.Table.from_pylist([row], schema=EXTRACTED_SCHEMA)
 
-    group = group.sort_values("page_no")
+    rows = sorted(rows, key=lambda r: r["page_no"])
     pages: List[Dict] = []
-    for _, r in group.iterrows():
-        blocks = [
-            struct_to_block(b)
-            for b in (list(r["blocks"]) if r["blocks"] is not None else [])
-        ]
-        figures = [
-            (f["name"], f["jpeg"])
-            for f in (list(r["figures"]) if r["figures"] is not None else [])
-        ]
+    for r in rows:
         pages.append(
             {
                 "raw_text": r["raw_text"],
-                "clean_md": r["clean_md"] if r["clean_md"] is not None else None,
-                "blocks": blocks,
-                "figures": figures,
+                "clean_md": r["clean_md"],
+                "blocks": [struct_to_block(b) for b in (r["blocks"] or [])],
+                "figures": [(f["name"], f["jpeg"]) for f in (r["figures"] or [])],
             }
         )
-    doc = merge_document(url, ts_iso, pages)
-    return pa.Table.from_pylist([doc_to_row(doc)], schema=EXTRACTED_SCHEMA)
+    return doc_to_row(merge_document(url, ts_iso, pages))
+
+
+def merge_page_group(group: pa.Table) -> pa.Table:
+    """One url's rows -> one document row (G1: in-group sort by page_no,
+    ordered concat).  Arrow-native: no pandas conversion in the hot path."""
+    return pa.Table.from_pylist(
+        [_merge_rows_to_doc(group.to_pylist())], schema=EXTRACTED_SCHEMA
+    )
+
+
+def merge_partition(batch: pa.Table) -> pa.Table:
+    """Merge one hash partition of page rows: every url's pages are
+    co-located here; sort by (url, page_no) once, split on url boundaries,
+    merge each run.  One vectorized call per PARTITION (not per url)."""
+    if "_part" in batch.column_names:
+        batch = batch.drop_columns(["_part"])
+    if batch.num_rows == 0:
+        return EXTRACTED_SCHEMA.empty_table()
+    batch = batch.sort_by([("url", "ascending"), ("page_no", "ascending")])
+    rows = batch.to_pylist()
+    docs: List[dict] = []
+    start = 0
+    for i in range(1, len(rows) + 1):
+        if i == len(rows) or rows[i]["url"] != rows[start]["url"]:
+            docs.append(_merge_rows_to_doc(rows[start:i]))
+            start = i
+    return pa.Table.from_pylist(docs, schema=EXTRACTED_SCHEMA)

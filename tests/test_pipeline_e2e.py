@@ -88,6 +88,60 @@ def test_multichunk_doc_present(golden):
     assert (gdf["n_pages"] > 40).any()
 
 
+def test_maponly_and_fused_paths_byte_identical(ray_session, corpus, golden, tmp_path):
+    """All three pipeline topologies (page-exploded, partition-fused,
+    map-only) produce byte-identical documents."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from deepseek_ocr_customvllm_ray.pipelines.extract import (
+        build_extract_pipeline_fused,
+        build_extract_pipeline_maponly,
+    )
+
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(corpus, p)
+    gdf = golden.to_pandas().sort_values("url").reset_index(drop=True)
+
+    mo = (
+        build_extract_pipeline_maponly(p, ExtractConfig())
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    fu = (
+        build_extract_pipeline_fused(rd.from_arrow(corpus), ExtractConfig())
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    for name, df in (("maponly", mo), ("fused", fu)):
+        assert gdf["url"].tolist() == df["url"].tolist(), name
+        for col in ["markdown", "extracted_text", "raw_md", "doc_json", "n_pages"]:
+            assert gdf[col].tolist() == df[col].tolist(), f"{name}:{col}"
+
+
+def test_maponly_clone_rows(ray_session, tmp_path):
+    """Exact-clone duplicate rows (same url, ts, payload) keep exactly one."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepseek_ocr_customvllm_ray.pipelines.extract import (
+        build_extract_pipeline_maponly,
+    )
+
+    payload = b"<html><body><div id=m><p>clone body text long enough to extract, yes indeed.</p></div></body></html>"
+    t = pa.table({
+        "url": ["https://a/x"] * 3 + ["https://a/y"],
+        "warc_ts": pa.array([dt.datetime(2026, 1, 1)] * 3 + [dt.datetime(2026, 1, 2)], pa.timestamp("us")),
+        "html": pa.array([payload, payload, payload, payload], pa.binary()),
+        "text": [""] * 4,
+        "lang": ["en"] * 4,
+    })
+    p = str(tmp_path / "clones.parquet")
+    pq.write_table(t, p)
+    out = build_extract_pipeline_maponly(p, ExtractConfig()).to_pandas()
+    assert sorted(out["url"]) == ["https://a/x", "https://a/y"]
+
+
 def test_determinism_rerun(ray_session, corpus):
     """Same input, fresh pipeline -> byte-identical output (retry safety)."""
     import ray.data as rd
