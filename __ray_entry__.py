@@ -47,10 +47,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_sources_by_chars": q.q_top_sources_by_chars,
         # similarity search
         "embedding_knn": q.q_embedding_knn,
+        "knn_ivf": q.q_knn_ivf,
+        "embedding_near_dups": q.q_embedding_near_dups,
+        "ngram_jaccard_pairs": q.q_ngram_jaccard_pairs,
+        # quality / cleaning / multimodal
+        "quality_filter": q.q_quality_filter,
+        "batch_cli_clean": q.q_batch_cli_clean,
+        "image_pipeline": q.q_image_pipeline,
         # relational primitives (aggregate / broadcast join / window / top-k)
         "lineitem_pricing": q.q_lineitem_pricing,
         "top_customers": q.q_top_customers,
         "events_hourly": q.q_events_hourly,
+        "events_sessionize": q.q_events_sessionize,
     }
 
 
@@ -120,6 +128,31 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_events, "
             "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents "
             "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+        ),
+        "events_sessionize": (
+            "WITH d AS ("
+            "  SELECT user_id, ts, value,"
+            "    CASE WHEN lag(ts) OVER w IS NULL"
+            "           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE"
+            "         THEN 1 ELSE 0 END AS new_s"
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)"
+            "), s AS ("
+            "  SELECT user_id, ts, value,"
+            "    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts"
+            "      ROWS UNBOUNDED PRECEDING) AS sid"
+            "  FROM d"
+            ") SELECT user_id, min(ts) AS session_start, count(*) AS n_events,"
+            "  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents"
+            " FROM s GROUP BY user_id, sid"
+        ),
+        "quality_filter": (
+            "SELECT doc_id FROM documents WHERE n_chars >= 100 AND n_chars <= 400 "
+            "AND CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) >= 20"
+        ),
+        "batch_cli_clean": (
+            # tag-free plain text is a no-op by contract (run_batch.py:133-143:
+            # the cleanup chain only runs per grounding-tag match)
+            "SELECT doc_id, text AS cleaned FROM documents"
         ),
         # minhash_clusters / simhash_signatures / langid_heuristic /
         # doc_fingerprints: hashing/heuristic ops, not SQL-expressible ->

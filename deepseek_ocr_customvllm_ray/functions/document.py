@@ -28,7 +28,7 @@ import json
 from typing import Any, Dict, List, Optional
 
 from ..config import EOS_TOKEN, PAGE_SPLIT_MARKER, ExtractConfig
-from . import mdtext
+from . import mdtext, tiling
 from .blocks import process_ocr_to_blocks
 from .fakemedia import fake_crop_jpeg
 from .html_extract import extract_markdown, extract_text
@@ -71,9 +71,15 @@ def process_page(
     content = mdtext.strip_eos(raw_text)
     skipped = cfg.skip_repeat and not content
 
+    # M1 -> M2 page prep (order matters: deskew before crop, M8): in this
+    # sandbox these are dimension-level stubs; crops denormalize against the
+    # PREPPED image like the reference (process_single_image then
+    # draw_bounding_boxes on the processed image)
+    pw, ph = tiling.crop_margin_dims(*tiling.deskew_dims(width, height))
+
     figures = []
     if not skipped:
-        for name, box in mdtext.figure_crop_boxes(content, page_no, width, height):
+        for name, box in mdtext.figure_crop_boxes(content, page_no, pw, ph):
             figures.append((name, fake_crop_jpeg(url, page_no, name, box)))
 
     clean_md: Optional[str] = None
@@ -90,6 +96,8 @@ def process_page(
         "blocks": blocks,
         "figures": figures,
         "heading_level": mdtext.last_heading_level(content, 0),
+        # M3/M4/M7 token accounting on the prepped page (metrics parity)
+        "n_image_tokens": tiling.num_image_tokens(pw, ph),
     }
 
 
@@ -141,6 +149,7 @@ def merge_document(
         "blocks": flat_blocks,
         "figures": figures,
         "n_pages": len(pages),
+        "n_image_tokens": sum(p.get("n_image_tokens", 0) for p in pages),
     }
 
 
@@ -176,4 +185,5 @@ def html_document(url: str, warc_ts_iso: str, html_bytes: bytes) -> Dict[str, An
         "blocks": blocks,
         "figures": [],
         "n_pages": 1,
+        "n_image_tokens": 0,
     }

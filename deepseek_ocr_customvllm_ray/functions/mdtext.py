@@ -241,6 +241,25 @@ def clean_formula(text: str) -> str:
     return _FORMULA_RE.sub(_one, text)
 
 
+def batch_cli_clean(text: str) -> str:
+    """The batch-CLI per-image cleaning contract (Scripts/run_batch.py:133-143,
+    byte-exact quirks preserved): formula clean, then for EACH grounding-tag
+    match delete it and re-run the newline collapse + ``<center>`` strip —
+    meaning a page with zero tags gets NO newline collapse at all, and the
+    EOS token is never stripped."""
+    content = clean_formula(text)
+    matches = REF_DET_RE.findall(content)
+    for m in matches:
+        content = (
+            content.replace(m[0], "")
+            .replace("\n\n\n\n", "\n\n")
+            .replace("\n\n\n", "\n\n")
+            .replace("<center>", "")
+            .replace("</center>", "")
+        )
+    return content
+
+
 _PAGE_SPLIT_TAG_RE = re.compile(r"<---? ?Page Split ?--->?")
 _MD_PUNCT_RE = re.compile(r"(\*\*|\*|#|!|\||<|>|\-|=)")
 _WS_RE = re.compile(r"\s+")

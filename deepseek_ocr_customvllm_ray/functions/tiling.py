@@ -1,0 +1,118 @@
+"""Page tiling / image-token accounting (M3, M4, M7 observable parity).
+
+Pure re-expression of the reference's dynamic tiling decision and
+image-token arithmetic — the part of the vision pre-processor whose outputs
+are scalars and therefore testable without any image libraries:
+
+- ``find_closest_aspect_ratio`` — process/image_process.py:97-111
+- ``count_tiles``               — process/image_process.py:114-128
+  (candidate grids ``MIN_CROPS=2 <= i*j <= MAX_CROPS=6`` sorted by area,
+  constants app/config.py:15-16)
+- ``num_image_tokens``          — app/core/ocr_engine.py:61-106
+  (global view ``h*(w+1)`` with h=w=ceil((1024/16)/4)=16, local view
+  ``(j*h2)*(i*w2+1)`` with h2=w2=ceil((640/16)/4)=10 when tiled, +1 view
+  separator; images <=640x640 use grid [1,1])
+
+The mock OCR actor attaches ``n_image_tokens`` per page as a metrics column
+so token-throughput accounting mirrors the reference's.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Tuple
+
+BASE_SIZE = 1024   # app/config.py:12
+IMAGE_SIZE = 640   # app/config.py:13
+MIN_CROPS = 2      # app/config.py:15
+MAX_CROPS = 6      # app/config.py:16
+PATCH_SIZE = 16
+DOWNSAMPLE = 4
+
+# The reference prompt (app/config.py:58), part of the observable contract.
+PROMPT = "<image>\n<|grounding|>Convert the document to markdown."
+
+
+def candidate_ratios(min_num: int = MIN_CROPS, max_num: int = MAX_CROPS) -> List[Tuple[int, int]]:
+    ratios = set(
+        (i, j)
+        for n in range(min_num, max_num + 1)
+        for i in range(1, n + 1)
+        for j in range(1, n + 1)
+        if min_num <= i * j <= max_num
+    )
+    return sorted(ratios, key=lambda x: x[0] * x[1])
+
+
+def find_closest_aspect_ratio(
+    aspect_ratio: float,
+    target_ratios: List[Tuple[int, int]],
+    width: int,
+    height: int,
+    image_size: int,
+) -> Tuple[int, int]:
+    best_diff = float("inf")
+    best = (1, 1)
+    area = width * height
+    for ratio in target_ratios:
+        target = ratio[0] / ratio[1]
+        diff = abs(aspect_ratio - target)
+        if diff < best_diff:
+            best_diff = diff
+            best = ratio
+        elif diff == best_diff:
+            if area > 0.5 * image_size * image_size * ratio[0] * ratio[1]:
+                best = ratio
+    return best
+
+
+def count_tiles(
+    width: int,
+    height: int,
+    min_num: int = MIN_CROPS,
+    max_num: int = MAX_CROPS,
+    image_size: int = IMAGE_SIZE,
+) -> Tuple[int, int]:
+    aspect_ratio = width / height
+    return find_closest_aspect_ratio(
+        aspect_ratio, candidate_ratios(min_num, max_num), width, height, image_size
+    )
+
+
+def num_image_tokens(width: int, height: int, cropping: bool = True) -> int:
+    """Total image tokens the model consumes for one page
+    (ocr_engine.py:61-106, byte-exact arithmetic)."""
+    if cropping:
+        if width <= 640 and height <= 640:
+            grid = (1, 1)
+        else:
+            grid = count_tiles(width, height)
+        nw, nh = grid
+    else:
+        nw = nh = 1
+    h = w = math.ceil((BASE_SIZE // PATCH_SIZE) / DOWNSAMPLE)
+    h2 = w2 = math.ceil((IMAGE_SIZE // PATCH_SIZE) / DOWNSAMPLE)
+    global_tokens = h * (w + 1)
+    local_tokens = (nh * h2) * (nw * w2 + 1) if (nw > 1 or nh > 1) else 0
+    return global_tokens + local_tokens + 1
+
+
+# --- page-prep dimension stubs (M1/M2 analogs) ----------------------------
+
+
+def deskew_dims(width: int, height: int) -> Tuple[int, int]:
+    """M1 ``detect_and_correct_skew`` stub: Tesseract OSD is unavailable, so
+    the rotation angle is always 0 and dimensions pass through (the
+    reference also passes through on any detection failure,
+    process/image_process.py:63-95)."""
+    return width, height
+
+
+def crop_margin_dims(width: int, height: int, margin: int = 60) -> Tuple[int, int]:
+    """M2 ``crop_flexible_pixels`` dimension effect: fixed 60 px margins on
+    all four sides, skipped when the crop would be degenerate
+    (process/image_process.py:21-61)."""
+    new_w, new_h = width - 2 * margin, height - 2 * margin
+    if new_w <= 0 or new_h <= 0:
+        return width, height
+    return new_w, new_h

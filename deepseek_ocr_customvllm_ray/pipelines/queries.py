@@ -288,6 +288,133 @@ def q_top_customers(sf_dir: str):
     return agg.sort("revenue_cents", descending=True).limit(10)
 
 
+def q_events_sessionize(sf_dir: str):
+    """Session windows (30-min inactivity gap) per user — the stream-shaped
+    operator (SURVEY §2.10 analog): events as an ordered, partitioned log,
+    windows via groupby(user).map_groups over ts-sorted groups."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        sid = gap.cumsum()
+        out = g.groupby(sid).agg(
+            session_start=("ts", "min"),
+            n_events=("ts", "count"),
+            value_cents=("value", lambda v: int(np.floor(v * 100).sum())),
+        )
+        out["user_id"] = g["user_id"].iloc[0]
+        return out.reset_index(drop=True)[
+            ["user_id", "session_start", "n_events", "value_cents"]
+        ]
+
+    out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "session_start": batch["session_start"],
+            "n_events": batch["n_events"].cast(pa.int64()),
+            "sum_value_cents": batch["value_cents"].cast(pa.int64()),
+        })
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+def q_quality_filter(sf_dir: str):
+    """Quality-threshold document filter (length + token-count bounds),
+    vectorized Arrow predicate."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(
+            pc.split_pattern_regex(batch["text"], pattern=r"\s+")
+        ).cast(pa.int64())
+        ok = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch["n_chars"], 100),
+                pc.less_equal(batch["n_chars"], 400),
+            ),
+            pc.greater_equal(toks, 20),
+        )
+        return batch.filter(ok).select(["doc_id"])
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def q_batch_cli_clean(sf_dir: str):
+    """Batch-CLI markdown cleaning contract (Scripts/run_batch.py:133-143);
+    on tag-free plain text it is a no-op by contract (the per-match cleanup
+    loop never runs), which the identity oracle pins."""
+    from ..functions.mdtext import batch_cli_clean
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def clean(batch: pa.Table) -> pa.Table:
+        out = [batch_cli_clean(t or "") for t in batch["text"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "cleaned": pa.array(out, pa.large_string()),
+        })
+
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """Exact word-3-gram Jaccard near-dup pairs (verify-side measure) over
+    MinHash-LSH candidates."""
+    import pandas as pd
+
+    from ..functions.hashing import jaccard
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    texts = dict(zip(*(ds.to_pandas()[c] for c in ("doc_id", "text"))))
+    cand = dedup.minhash_near_dup_clusters(ds, "text", "doc_id", threshold=0.5)
+    rows = []
+    for _, r in cand[cand["id"] != cand["cluster_id"]].iterrows():
+        j = jaccard(texts[r["id"]], texts[r["cluster_id"]])
+        if j >= 0.5:
+            rows.append((int(r["cluster_id"]), int(r["id"]), j))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+
+
+def q_embedding_near_dups(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return dedup.embedding_near_dup_pairs(ds, "embedding", "vec_id", threshold=0.95)
+
+
+def q_knn_ivf(sf_dir: str):
+    """IVF approximate top-10 for vec_id 0 (scale path of embedding_knn)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q0 = ds.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"]
+    out = similarity.knn_ivf(
+        ds, np.asarray([q0]), "embedding", "vec_id", k=10, n_clusters=8, n_probe=4
+    )
+    return out[["id"]].rename(columns={"id": "vec_id"})
+
+
+def q_image_pipeline(sf_dir: str):
+    """Multimodal plumbing over documents-as-images (decode/resize/embed
+    actor stages; pixel kernels are deterministic stubs)."""
+    from ..stages.multimodal import apply_image_pipeline
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def as_images(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "id": batch["doc_id"],
+            "media": pa.array(
+                [(t or "").encode("utf-8") for t in batch["text"].to_pylist()],
+                pa.binary(),
+            ),
+            "mime": pa.array(["image/jpeg"] * batch.num_rows, pa.string()),
+        })
+
+    return apply_image_pipeline(ds.map_batches(as_images, batch_format="pyarrow"))
+
+
 def q_events_hourly(sf_dir: str):
     """Tumbling-window aggregate: events per (event_type, hour)."""
     from ray.data.aggregate import Count, Sum

@@ -47,6 +47,7 @@ EXTRACTED_SCHEMA = pa.schema(
         ("blocks", pa.large_list(BLOCK_STRUCT)),
         ("figures", pa.large_list(FIGURE_STRUCT)),
         ("n_pages", pa.int32()),
+        ("n_image_tokens", pa.int64()),
     ]
 )
 

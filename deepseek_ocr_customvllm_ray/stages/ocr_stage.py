@@ -79,6 +79,7 @@ PROCESSED_PAGE_SCHEMA = pa.schema(
         ("blocks", pa.large_list(BLOCK_STRUCT)),
         ("figures", pa.large_list(FIGURE_STRUCT)),
         ("heading_level", pa.int32()),
+        ("n_image_tokens", pa.int64()),
     ]
 )
 
@@ -146,6 +147,31 @@ class MockOcrEngine:
         return batch.append_column("raw_text", pa.array(raw, pa.large_string()))
 
 
+class FallbackOcrEngine(MockOcrEngine):
+    """A7 analog: the Tesseract fallback engine behind the SAME stage
+    interface (app/services/processor.py:38-60 wraps pytesseract output in a
+    MockModelOutput with the vLLM shape; engine selection is a constructor
+    swap, exactly as the reference falls back when the vLLM init returns
+    None, app/core/model_init.py:36-41).
+
+    Observable difference reproduced: the fallback engine emits PLAIN text —
+    no grounding tags, no layout markup — so downstream postprocessing sees
+    tag-free pages.  Deterministic: strips grounding tags from the embedded
+    emission (what a plain-text OCR of the same page would read).
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.mdtext import REF_DET_RE
+
+        kinds = batch["kind"].to_pylist()
+        emissions = batch["emission"].to_pylist()
+        raw = [
+            REF_DET_RE.sub("", e) + "<｜end▁of▁sentence｜>" if k == KIND_PDF_PAGE else ""
+            for k, e in zip(kinds, emissions)
+        ]
+        return batch.append_column("raw_text", pa.array(raw, pa.large_string()))
+
+
 def make_postprocess_page_batch(cfg: ExtractConfig):
     """Stateless postprocess: M9-M16 per pdf page; Readability per html doc."""
 
@@ -169,6 +195,7 @@ def make_postprocess_page_batch(cfg: ExtractConfig):
                 blocks = [block_to_struct(b) for b in p["blocks"]]
                 figures = [{"name": n, "jpeg": j} for n, j in p["figures"]]
                 heading = p["heading_level"]
+                n_img_tok = p["n_image_tokens"]
                 raw_text = raw
             else:
                 markdown = extract_markdown(emission)
@@ -177,6 +204,7 @@ def make_postprocess_page_batch(cfg: ExtractConfig):
                 blocks = [block_to_struct(b) for b in process_ocr_to_blocks(markdown)]
                 figures = []
                 heading = 0
+                n_img_tok = 0
                 raw_text = ""
             out["url"].append(url)
             out["warc_ts_iso"].append(iso)
@@ -189,6 +217,7 @@ def make_postprocess_page_batch(cfg: ExtractConfig):
             out["blocks"].append(blocks)
             out["figures"].append(figures)
             out["heading_level"].append(heading)
+            out["n_image_tokens"].append(n_img_tok)
         return pa.Table.from_arrays(
             [pa.array(out[f.name], f.type) for f in PROCESSED_PAGE_SCHEMA],
             schema=PROCESSED_PAGE_SCHEMA,
@@ -228,6 +257,7 @@ def _merge_rows_to_doc(rows: List[dict]) -> dict:
             "blocks": [block_to_struct(b) for b in blocks],
             "figures": [],
             "n_pages": 1,
+            "n_image_tokens": 0,
         }
 
     rows = sorted(rows, key=lambda r: r["page_no"])
@@ -239,6 +269,7 @@ def _merge_rows_to_doc(rows: List[dict]) -> dict:
                 "clean_md": r["clean_md"],
                 "blocks": [struct_to_block(b) for b in (r["blocks"] or [])],
                 "figures": [(f["name"], f["jpeg"]) for f in (r["figures"] or [])],
+                "n_image_tokens": r["n_image_tokens"],
             }
         )
     return doc_to_row(merge_document(url, ts_iso, pages))

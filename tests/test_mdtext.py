@@ -160,3 +160,22 @@ class TestHeadingTracking:
     def test_last_level(self):
         assert mdtext.last_heading_level("# a\ntext\n### b\n", 0) == 3
         assert mdtext.last_heading_level("no heading", 2) == 2
+
+
+class TestBatchCliClean:
+    def tag(self, label, coords):
+        return f"<|ref|>{label}<|/ref|><|det|>{coords}<|/det|>"
+
+    def test_no_tags_is_noop_even_with_newlines(self):
+        # quirk: the collapse chain only runs per tag match
+        s = "a\n\n\n\nb <center>x</center>"
+        assert mdtext.batch_cli_clean(s) == s
+
+    def test_tagged_page_cleans(self):
+        s = self.tag("title", "[[1,2,3,4]]") + "head\n\n\n\nbody <center>c</center>"
+        out = mdtext.batch_cli_clean(s)
+        assert out == "head\n\nbody c"
+
+    def test_formula_cleaned(self):
+        s = r"\[x \quad (1)\]" + self.tag("t", "[[1,1,2,2]]")
+        assert mdtext.batch_cli_clean(s) == r"\[x\]"

@@ -156,3 +156,42 @@ def test_determinism_rerun(ray_session, corpus):
     )
     assert a["markdown"].tolist() == b["markdown"].tolist()
     assert a["doc_json"].tolist() == b["doc_json"].tolist()
+
+
+def test_fallback_engine_strips_tags(ray_session):
+    """A7 analog: engine swap to the plain-text fallback removes grounding
+    tags from raw output (no figures, no image links)."""
+    import ray.data as rd
+
+    from deepseek_ocr_customvllm_ray.stages.ocr_stage import (
+        FallbackOcrEngine,
+        explode_documents,
+        make_postprocess_page_batch,
+        merge_partition,
+    )
+    from deepseek_ocr_customvllm_ray.stages.partition import with_hash_partition
+    from deepseek_ocr_customvllm_ray.stages.validate import make_route_batch
+
+    corpus = generate_pages(n_docs=20, seed=3, pdf_fraction=1.0)
+    cfg = ExtractConfig()
+    ds = rd.from_arrow(corpus).map_batches(make_route_batch(200), batch_format="pyarrow")
+    pages = ds.map_batches(explode_documents, batch_format="pyarrow")
+    pages = pages.map_batches(
+        FallbackOcrEngine, fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow", concurrency=1,
+    )
+    pages = pages.map_batches(make_postprocess_page_batch(cfg), batch_format="pyarrow")
+    docs = with_hash_partition(pages, "url", 4).groupby("_part").map_groups(
+        merge_partition, batch_format="pyarrow"
+    ).to_pandas()
+    assert len(docs) == 20
+    assert not docs["markdown"].str.contains(r"<\|ref\|>", regex=True).any()
+    assert all(len(f) == 0 for f in docs["figures"])
+
+
+def test_n_image_tokens_accounted(golden):
+    gdf = golden.to_pandas()
+    pdfs = gdf[gdf["doc_kind"] == "pdf"]
+    # every page contributes at least the global view (16*17+1 = 273)
+    assert (pdfs["n_image_tokens"] >= 273 * 1).all()
+    assert (gdf[gdf["doc_kind"] == "html"]["n_image_tokens"] == 0).all()
