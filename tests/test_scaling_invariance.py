@@ -1,0 +1,55 @@
+"""Two-parallelism invariance (SURVEY §5): the same input extracted in two
+FRESH Ray sessions at different parallelism levels produces byte-identical
+output.  Runs each level in a subprocess so the sessions are truly
+independent (the in-session variant lives in test_pipeline_e2e.py)."""
+
+import hashlib
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CODE = """
+import sys, json, hashlib
+import ray
+ray.init(address="local", num_cpus=%(ncpu)d, include_dashboard=False,
+         ignore_reinit_error=True, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from deepseek_ocr_customvllm_ray.pipelines.extract import build_extract_pipeline_maponly
+from deepseek_ocr_customvllm_ray.config import ExtractConfig
+df = (build_extract_pipeline_maponly(%(path)r, ExtractConfig())
+      .to_pandas().sort_values("url").reset_index(drop=True))
+h = hashlib.sha256()
+for col in ("url", "markdown", "extracted_text", "raw_md", "doc_json"):
+    for v in df[col]:
+        h.update(v.encode("utf-8")); h.update(b"\\x1e")
+print(json.dumps({"rows": len(df), "sha": h.hexdigest()}))
+ray.shutdown()
+"""
+
+
+@pytest.mark.slow
+def test_same_bytes_at_two_parallelism_levels(tmp_path):
+    import pyarrow.parquet as pq
+
+    from deepseek_ocr_customvllm_ray.sources.corpus import generate_pages
+
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(generate_pages(n_docs=60, seed=13), p)
+
+    results = {}
+    for ncpu in (2, 4):
+        out = subprocess.run(
+            [sys.executable, "-c", _CODE % {"ncpu": ncpu, "path": p}],
+            capture_output=True, text=True, cwd=REPO, timeout=300,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
+
+    assert results[2]["rows"] == results[4]["rows"] > 0
+    assert results[2]["sha"] == results[4]["sha"]
