@@ -59,6 +59,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": q.q_top_customers,
         "events_hourly": q.q_events_hourly,
         "events_sessionize": q.q_events_sessionize,
+        "top2_docs_per_source": q.q_top2_docs_per_source,
+        "customers_without_orders": q.q_customers_without_orders,
+        "source_median_chars": q.q_source_median_chars,
+        "distinct_langs_per_source": q.q_distinct_langs_per_source,
     }
 
 
@@ -153,6 +157,23 @@ def oracle_sql() -> dict[str, str]:
             # tag-free plain text is a no-op by contract (run_batch.py:133-143:
             # the cleanup chain only runs per grounding-tag match)
             "SELECT doc_id, text AS cleaned FROM documents"
+        ),
+        "top2_docs_per_source": (
+            "SELECT doc_id, source, n_chars FROM documents "
+            "QUALIFY row_number() OVER (PARTITION BY source "
+            "ORDER BY n_chars DESC, doc_id) <= 2"
+        ),
+        "customers_without_orders": (
+            "SELECT count(*) AS n_customers FROM customer "
+            "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+        ),
+        "source_median_chars": (
+            "SELECT source, CAST(median(n_chars) AS DOUBLE) AS median_chars "
+            "FROM documents GROUP BY source"
+        ),
+        "distinct_langs_per_source": (
+            "SELECT source, count(DISTINCT lang) AS n_langs "
+            "FROM documents GROUP BY source"
         ),
         # minhash_clusters / simhash_signatures / langid_heuristic /
         # doc_fingerprints: hashing/heuristic ops, not SQL-expressible ->

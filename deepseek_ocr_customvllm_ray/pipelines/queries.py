@@ -220,6 +220,96 @@ def q_embedding_knn(sf_dir: str):
     return out[["id"]].rename(columns={"id": "vec_id"})
 
 
+def q_top2_docs_per_source(sf_dir: str):
+    """Per-group top-k (window-function analog): 2 longest docs per source,
+    deterministic tie-break on doc_id."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(2)
+
+    return ds.groupby("source").map_groups(top2, batch_format="pandas")
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Broadcast ANTI-join: count customers with no orders (order custkey
+    set via ray.put, vectorized isin filter — no shuffle).  Returns a
+    1-row count so the result keeps a schema even when the anti-join is
+    empty."""
+    import pandas as pd
+    import ray
+
+    custkeys = _read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
+    ref = ray.put(set(custkeys))
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def anti(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        mask = [k not in keys for k in batch["c_custkey"].to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    n = cust.map_batches(anti, batch_format="pyarrow").count()
+    return pd.DataFrame({"n_customers": pd.array([n], dtype="int64")})
+
+
+def q_source_median_chars(sf_dir: str):
+    """Exact per-group median (sorted in-group; DuckDB median semantics:
+    mean of the two middle values for even counts)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"source": [g["source"].iloc[0]], "median_chars": [float(g["n_chars"].median())]}
+        )
+
+    return ds.groupby("source").map_groups(med, batch_format="pandas")
+
+
+def q_distinct_langs_per_source(sf_dir: str):
+    """count(DISTINCT lang) per source via per-batch set partials merged in
+    a tiny groupby (mergeable-sketch pattern, exact at this cardinality)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        seen = {}
+        for s, l in zip(batch["source"].to_pylist(), batch["lang"].to_pylist()):
+            seen.setdefault(s, set()).add(l)
+        rows = sorted(seen.items())
+        return pa.table({
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "langs": pa.array([sorted(r[1]) for r in rows], pa.list_(pa.string())),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        s = set()
+        for langs in g["langs"]:
+            s.update(langs)
+        return pd.DataFrame(
+            {"source": [g["source"].iloc[0]], "n_langs": [len(s)]}
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": batch["source"],
+            "n_langs": batch["n_langs"].cast(pa.int64()),
+        })
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
 # --- relational coverage (engine primitives over TPC-H-ish tables) --------
 
 
