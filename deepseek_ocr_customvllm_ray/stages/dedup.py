@@ -73,6 +73,32 @@ def exact_dedup(ds, text_col: str, id_col: str):
     return hashed.map_batches(keep, batch_format="pyarrow")
 
 
+def exact_dedup_shuffle(ds, text_col: str, id_col: str, num_partitions: int = 64):
+    """Scale-path exact dedup: NO driver-side keeper set.
+
+    Hash-partition rows by content sha (co-locating all copies of a text),
+    then one vectorized partition-local drop-duplicates keeping min(id) —
+    partition-local is globally correct because copies always co-locate.
+    Works at any corpus size; the broadcast variant (:func:`exact_dedup`) is
+    faster when the keeper-id set fits driver memory.
+    """
+    import pandas as pd
+
+    from .partition import with_hash_partition
+
+    hashed = ds.map_batches(add_sha1(text_col), batch_format="pyarrow")
+    parted = with_hash_partition(hashed, "content_sha1", num_partitions)
+
+    def drop_dups(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_part"])
+        return (
+            df.sort_values([id_col], kind="mergesort")
+            .drop_duplicates("content_sha1", keep="first")
+        )
+
+    return parted.groupby("_part").map_groups(drop_dups, batch_format="pandas")
+
+
 def exact_dedup_keepers(ds, text_col: str, id_col: str):
     """Just the keeper ids (min id per distinct text) — the SQL-checkable
     core of exact dedup."""

@@ -30,6 +30,7 @@ anywhere (SURVEY §4 "Ordering").
 from __future__ import annotations
 
 import json
+import pickle
 from typing import Dict, List
 
 import pandas as pd
@@ -76,8 +77,12 @@ PROCESSED_PAGE_SCHEMA = pa.schema(
         ("clean_md", pa.large_string()),  # pdf: page md (null = SKIP_REPEAT);
                                           # html: doc markdown
         ("extracted_text", pa.large_string()),  # html only; null for pdf pages
-        ("blocks", pa.large_list(BLOCK_STRUCT)),
-        ("figures", pa.large_list(FIGURE_STRUCT)),
+        # (blocks, figures) pickled per page: the typed dicts cross the merge
+        # shuffle as one binary column — constructing Arrow list<struct>
+        # per PAGE and converting back per DOC costs ~3x the extraction
+        # itself (measured); the nested types appear only once, in the final
+        # document schema
+        ("page_payload", pa.binary()),
         ("heading_level", pa.int32()),
         ("n_image_tokens", pa.int64()),
     ]
@@ -192,8 +197,7 @@ def make_postprocess_page_batch(cfg: ExtractConfig):
                 p = process_page(url, page_no, w, h, raw, cfg)
                 clean_md = p["clean_md"]
                 extracted_text = None
-                blocks = [block_to_struct(b) for b in p["blocks"]]
-                figures = [{"name": n, "jpeg": j} for n, j in p["figures"]]
+                payload = pickle.dumps((p["blocks"], p["figures"]), protocol=4)
                 heading = p["heading_level"]
                 n_img_tok = p["n_image_tokens"]
                 raw_text = raw
@@ -201,8 +205,7 @@ def make_postprocess_page_batch(cfg: ExtractConfig):
                 markdown = extract_markdown(emission)
                 clean_md = markdown
                 extracted_text = extract_text(emission)
-                blocks = [block_to_struct(b) for b in process_ocr_to_blocks(markdown)]
-                figures = []
+                payload = pickle.dumps((process_ocr_to_blocks(markdown), []), protocol=4)
                 heading = 0
                 n_img_tok = 0
                 raw_text = ""
@@ -214,8 +217,7 @@ def make_postprocess_page_batch(cfg: ExtractConfig):
             out["raw_text"].append(raw_text)
             out["clean_md"].append(clean_md)
             out["extracted_text"].append(extracted_text)
-            out["blocks"].append(blocks)
-            out["figures"].append(figures)
+            out["page_payload"].append(payload)
             out["heading_level"].append(heading)
             out["n_image_tokens"].append(n_img_tok)
         return pa.Table.from_arrays(
@@ -232,7 +234,7 @@ def _merge_rows_to_doc(rows: List[dict]) -> dict:
     ts_iso = rows[0]["warc_ts_iso"]
     if rows[0]["kind"] == KIND_HTML_DOC:
         r = rows[0]
-        blocks = [struct_to_block(b) for b in (r["blocks"] or [])]
+        blocks, _ = pickle.loads(r["page_payload"])
         doc_json = json.dumps(
             {
                 "document": {
@@ -263,12 +265,13 @@ def _merge_rows_to_doc(rows: List[dict]) -> dict:
     rows = sorted(rows, key=lambda r: r["page_no"])
     pages: List[Dict] = []
     for r in rows:
+        blocks, figures = pickle.loads(r["page_payload"])
         pages.append(
             {
                 "raw_text": r["raw_text"],
                 "clean_md": r["clean_md"],
-                "blocks": [struct_to_block(b) for b in (r["blocks"] or [])],
-                "figures": [(f["name"], f["jpeg"]) for f in (r["figures"] or [])],
+                "blocks": blocks,
+                "figures": figures,
                 "n_image_tokens": r["n_image_tokens"],
             }
         )
