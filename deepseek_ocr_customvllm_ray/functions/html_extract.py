@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import re
 from html.parser import HTMLParser
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 _KILL_TAGS = frozenset(
     "script style nav footer header aside form noscript iframe button "

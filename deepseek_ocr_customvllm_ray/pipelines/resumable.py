@@ -20,7 +20,6 @@ byte-identical to a cold run — asserted by tests/test_resume.py.
 
 from __future__ import annotations
 
-import os
 from typing import Optional, Set
 
 import pyarrow as pa

@@ -17,7 +17,7 @@ wall clock) so goldens are stable.
 from __future__ import annotations
 
 import datetime as _dt
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 import pyarrow as pa

@@ -4,9 +4,6 @@ fingerprinting — vectorized ``map_batches`` wrappers over
 
 from __future__ import annotations
 
-from typing import List
-
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 

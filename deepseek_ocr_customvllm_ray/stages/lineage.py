@@ -15,7 +15,6 @@ from __future__ import annotations
 
 from typing import List
 
-import numpy as np
 import pyarrow as pa
 
 from ..state.manifest import doc_hash63, shard_of_host

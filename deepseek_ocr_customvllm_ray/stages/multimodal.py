@@ -21,8 +21,6 @@ object store spill rather than raising batch size.
 from __future__ import annotations
 
 import hashlib
-from typing import Optional
-
 import numpy as np
 import pyarrow as pa
 

@@ -33,7 +33,6 @@ import json
 import pickle
 from typing import Dict, List
 
-import pandas as pd
 import pyarrow as pa
 
 from ..config import ExtractConfig
@@ -41,12 +40,9 @@ from ..functions.document import merge_document, mock_decode, process_page
 from ..functions.blocks import process_ocr_to_blocks
 from ..functions.html_extract import extract_markdown, extract_text
 from ..sources.golden import (
-    BLOCK_STRUCT,
     EXTRACTED_SCHEMA,
-    FIGURE_STRUCT,
     block_to_struct,
     doc_to_row,
-    struct_to_block,
 )
 from ..sources.pdfpayload import parse_pdf_payload
 
