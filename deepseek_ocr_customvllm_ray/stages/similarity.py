@@ -78,6 +78,88 @@ def train_centroids(sample: np.ndarray, n_clusters: int, iters: int = 10, seed: 
     return cents
 
 
+def build_ivf_index(
+    ds,
+    vec_col: str,
+    id_col: str,
+    out_dir: str,
+    n_clusters: int = 16,
+    sample_size: int = 2000,
+    seed: int = 7,
+) -> np.ndarray:
+    """Persist an IVF index: centroids + vectors hive-partitioned by their
+    assigned cluster.
+
+    The scale property: a query that probes ``n_probe`` clusters READS only
+    those partitions from storage (hive pruning on ``cluster=``) — the
+    corpus is never scanned.  Index build is one pass: assign per batch
+    (broadcast centroids), write partitioned parquet.  Returns centroids.
+    """
+    import json
+    import os
+
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    sample_rows = ds.limit(sample_size).to_pandas()[vec_col].tolist()
+    cents = train_centroids(np.asarray(sample_rows), n_clusters, seed=seed)
+    c_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        vecs = _unit(np.asarray(batch[vec_col].to_pylist(), dtype=np.float64))
+        cluster = (vecs @ c.T).argmax(axis=1).astype(np.int32)
+        return pa.table({
+            "id": batch[id_col],
+            "vec": pa.array([v.tolist() for v in vecs], pa.list_(pa.float64())),
+            "cluster": pa.array(cluster, pa.int32()),
+        })
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        os.path.join(out_dir, "vectors"), partition_cols=["cluster"]
+    )
+    with open(os.path.join(out_dir, "centroids.json"), "w") as f:
+        json.dump(cents.tolist(), f)
+    return cents
+
+
+def knn_ivf_index(
+    index_dir: str,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+) -> pd.DataFrame:
+    """Query a persisted IVF index: read ONLY the probed cluster partitions
+    (predicate pushdown on the hive column), brute-force within them."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "centroids.json")) as f:
+        cents = np.asarray(json.load(f))
+    q = _unit(np.asarray(query_vecs, dtype=np.float64))
+    probe = set()
+    qc = q @ cents.T
+    for qi in range(q.shape[0]):
+        for c in np.argsort(-qc[qi])[:n_probe]:
+            probe.add(int(c))
+
+    # partition pruning at the PATH level: only the probed cluster dirs are
+    # ever opened (equivalent to hive predicate pushdown, and robust to
+    # Ray's fragment sampler which can't evaluate partition-column filters)
+    import glob
+
+    paths = []
+    for c in sorted(probe):
+        d = os.path.join(index_dir, "vectors", f"cluster={c}")
+        paths.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+    if not paths:
+        return pd.DataFrame({"query_no": [], "id": [], "cosine": []})
+    ds = rd.read_parquet(paths)
+    return knn_brute(ds, q, "vec", "id", k=k)
+
+
 def knn_ivf(
     ds,
     query_vecs: np.ndarray,

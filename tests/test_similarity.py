@@ -55,3 +55,31 @@ class TestKnnIvf:
         overlap = len(set(brute["id"]) & set(ivf["id"]))
         assert overlap >= 6  # probing half the clusters keeps recall high
         assert ivf["id"].iloc[0] == 7  # self-match survives probing
+
+
+class TestIvfIndex:
+    def test_build_query_and_prune(self, ray_session, tmp_path):
+        import os
+
+        import ray.data as rd
+
+        from deepseek_ocr_customvllm_ray.stages.similarity import (
+            build_ivf_index,
+            knn_brute,
+            knn_ivf_index,
+        )
+
+        t, vecs = _emb_table(n=300)
+        idx = str(tmp_path / "ivf")
+        cents = build_ivf_index(rd.from_arrow(t), "embedding", "vec_id", idx, n_clusters=8)
+        assert cents.shape[0] == 8
+        # hive partition dirs exist
+        parts = [d for d in os.listdir(os.path.join(idx, "vectors")) if d.startswith("cluster=")]
+        assert len(parts) >= 2
+
+        q = vecs[11]
+        out = knn_ivf_index(idx, np.asarray([q]), k=10, n_probe=4)
+        assert out["id"].iloc[0] == 11  # self-match
+        brute = knn_brute(rd.from_arrow(t), np.asarray([q]), "embedding", "vec_id", k=10)
+        overlap = len(set(out["id"]) & set(brute["id"]))
+        assert overlap >= 6
