@@ -63,6 +63,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": q.q_customers_without_orders,
         "source_median_chars": q.q_source_median_chars,
         "distinct_langs_per_source": q.q_distinct_langs_per_source,
+        "lineitem_open_orders": q.q_lineitem_open_orders,
+        "top20_longest_docs": q.q_top20_longest_docs,
+        "union_distinct_keys": q.q_union_distinct_keys,
+        "approx_distinct_texts": q.q_approx_distinct_texts,
     }
 
 
@@ -174,6 +178,20 @@ def oracle_sql() -> dict[str, str]:
         "distinct_langs_per_source": (
             "SELECT source, count(DISTINCT lang) AS n_langs "
             "FROM documents GROUP BY source"
+        ),
+        "lineitem_open_orders": (
+            "SELECT l_returnflag, count(*) AS n_lineitems FROM lineitem "
+            "WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O') "
+            "GROUP BY l_returnflag"
+        ),
+        "top20_longest_docs": (
+            "SELECT doc_id, n_chars FROM documents "
+            "ORDER BY n_chars DESC, doc_id LIMIT 20"
+        ),
+        "union_distinct_keys": (
+            "SELECT count(DISTINCT k) AS n_keys FROM ("
+            "SELECT c_custkey AS k FROM customer "
+            "UNION ALL SELECT CAST(s_suppkey AS BIGINT) FROM supplier)"
         ),
         # minhash_clusters / simhash_signatures / langid_heuristic /
         # doc_fingerprints: hashing/heuristic ops, not SQL-expressible ->

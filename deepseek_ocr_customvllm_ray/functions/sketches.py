@@ -1,0 +1,131 @@
+"""Mergeable sketches: Bloom filter (semi-join side) and HyperLogLog
+(approximate distinct).  Public algorithms (Bloom '70; Flajolet et al. '07),
+numpy-vectorized, deterministic (crc32-based hashing — never Python's salted
+``hash``).
+
+The mergeability is the point for Ray: each ``map_batches`` task emits one
+small sketch; a tiny reduce merges them (union for Bloom, element-wise max
+for HLL registers) — the pre-aggregate pattern with constant-size partials.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterable, List
+
+import numpy as np
+
+_MAXH = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _hash64(values: Iterable[str]) -> np.ndarray:
+    vals = np.fromiter(
+        (zlib.crc32(v.encode("utf-8")) for v in values), dtype=np.uint64
+    )
+    vals = (vals * np.uint64(0x9E3779B97F4A7C15)) & _MAXH
+    vals ^= vals >> np.uint64(31)
+    vals = (vals * np.uint64(0xBF58476D1CE4E5B9)) & _MAXH
+    vals ^= vals >> np.uint64(27)
+    return vals
+
+
+class BloomFilter:
+    """Fixed-size Bloom filter; k hash probes derived from one 64-bit hash
+    (Kirsch-Mitzenmacher double hashing)."""
+
+    def __init__(self, n_bits: int = 1 << 20, k: int = 5):
+        assert n_bits & (n_bits - 1) == 0, "n_bits must be a power of two"
+        self.n_bits = n_bits
+        self.k = k
+        self.bits = np.zeros(n_bits // 64, dtype=np.uint64)
+
+    def _positions(self, values: List[str]) -> np.ndarray:
+        h = _hash64(values)
+        h1 = h & np.uint64(0xFFFFFFFF)
+        h2 = h >> np.uint64(32)
+        ks = np.arange(self.k, dtype=np.uint64)
+        return (h1[:, None] + ks[None, :] * h2[:, None]) & np.uint64(self.n_bits - 1)
+
+    def add_many(self, values: List[str]) -> None:
+        if not values:
+            return
+        pos = self._positions(values).ravel()
+        np.bitwise_or.at(self.bits, pos >> np.uint64(6), np.uint64(1) << (pos & np.uint64(63)))
+
+    def contains_many(self, values: List[str]) -> np.ndarray:
+        """Vectorized membership test -> bool array (no false negatives)."""
+        if not values:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(values)
+        word = self.bits[(pos >> np.uint64(6)).ravel()].reshape(pos.shape)
+        hit = (word >> (pos & np.uint64(63))) & np.uint64(1)
+        return hit.all(axis=1).astype(bool)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.n_bits == other.n_bits and self.k == other.k
+        out = BloomFilter(self.n_bits, self.k)
+        out.bits = self.bits | other.bits
+        return out
+
+    def to_bytes(self) -> bytes:
+        return self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, n_bits: int, k: int) -> "BloomFilter":
+        bf = cls(n_bits, k)
+        bf.bits = np.frombuffer(data, dtype=np.uint64).copy()
+        return bf
+
+
+class HyperLogLog:
+    """HLL with 2^p registers; standard bias-corrected estimator."""
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_many(self, values: List[str]) -> None:
+        if not values:
+            return
+        h = _hash64(values)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) & _MAXH
+        # rank = leading zeros of the remaining 64-p bits + 1
+        lz = np.full(len(h), 64 - self.p, dtype=np.uint8)
+        nonzero = rest != 0
+        if nonzero.any():
+            # number of leading zeros via float exponent is unsafe; use
+            # a bit-length loop over 64 bits vectorized with log2
+            bl = np.zeros(len(h), dtype=np.int64)
+            r = rest[nonzero]
+            bl_nz = np.floor(np.log2(r.astype(np.float64))).astype(np.int64)
+            bl[nonzero] = bl_nz
+            lz = np.where(nonzero, 63 - bl, 64 - self.p).astype(np.int64)
+        rank = np.minimum(lz + 1, 64 - self.p + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        out = HyperLogLog(self.p)
+        out.registers = np.maximum(self.registers, other.registers)
+        return out
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.exp2(-self.registers.astype(np.float64)))
+        if est <= 2.5 * m:
+            zeros = int((self.registers == 0).sum())
+            if zeros:
+                est = m * np.log(m / zeros)  # linear counting for small n
+        return float(est)
+
+    def to_bytes(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, p: int) -> "HyperLogLog":
+        h = cls(p)
+        h.registers = np.frombuffer(data, dtype=np.uint8).copy()
+        return h

@@ -310,6 +310,98 @@ def q_distinct_langs_per_source(sf_dir: str):
     return out.map_batches(cast, batch_format="pyarrow")
 
 
+def q_approx_distinct_texts(sf_dir: str):
+    """HyperLogLog approximate distinct (mergeable-sketch pattern): one
+    constant-size sketch per batch, merged driver-side.  Rows-only (the
+    estimate is approximate by design; accuracy asserted in
+    tests/test_sketches.py)."""
+    import pandas as pd
+
+    from ..functions.sketches import HyperLogLog
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        h = HyperLogLog(p=12)
+        h.add_many([t or "" for t in batch["text"].to_pylist()])
+        return pa.table({"sketch": pa.array([h.to_bytes()], pa.binary())})
+
+    merged = HyperLogLog(p=12)
+    for b in ds.map_batches(sketch, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for s in b["sketch"].to_pylist():
+            merged = merged.merge(HyperLogLog.from_bytes(s, 12))
+    return pd.DataFrame({"approx_distinct": pd.array([int(round(merged.estimate()))], dtype="int64")})
+
+
+def q_lineitem_open_orders(sf_dir: str):
+    """Broadcast SEMI-join: lineitem rows whose order is 'O'-status, counted
+    per returnflag.  The key set is broadcast exactly (the Bloom-filter
+    variant trades memory for false positives and lives in
+    functions/sketches.py with its own tests)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    open_keys = set(
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["o_orderstatus"], "O")).select(["o_orderkey"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["o_orderkey"]
+    )
+    ref = ray.put(open_keys)
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+
+    def semi(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        mask = [k in keys for k in batch["l_orderkey"].to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return (
+        li.map_batches(semi, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Count(alias_name="n_lineitems"))
+    )
+
+
+def q_top20_longest_docs(sf_dir: str):
+    """Global top-k via local per-batch top-k + tiny driver merge (no full
+    sort): deterministic with (n_chars desc, doc_id asc) tie-break."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas().sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        ).head(20)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    local = ds.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    return (
+        local.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+
+
+def q_union_distinct_keys(sf_dir: str):
+    """union + distinct: |customer keys ∪ supplier keys|."""
+    import pandas as pd
+
+    cust = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda t: pa.table({"k": t["c_custkey"].cast(pa.int64())}), batch_format="pyarrow"
+    )
+    supp = _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
+        lambda t: pa.table({"k": t["s_suppkey"].cast(pa.int64())}), batch_format="pyarrow"
+    )
+    n = len(cust.union(supp).unique("k"))
+    return pd.DataFrame({"n_keys": pd.array([n], dtype="int64")})
+
+
 # --- relational coverage (engine primitives over TPC-H-ish tables) --------
 
 
