@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_median_chars": q.q_source_median_chars,
         "distinct_langs_per_source": q.q_distinct_langs_per_source,
         "lineitem_open_orders": q.q_lineitem_open_orders,
+        "events_last_order": q.q_events_last_order,
         "top20_longest_docs": q.q_top20_longest_docs,
         "union_distinct_keys": q.q_union_distinct_keys,
         "approx_distinct_texts": q.q_approx_distinct_texts,
@@ -178,6 +179,11 @@ def oracle_sql() -> dict[str, str]:
         "distinct_langs_per_source": (
             "SELECT source, count(DISTINCT lang) AS n_langs "
             "FROM documents GROUP BY source"
+        ),
+        "events_last_order": (
+            "SELECT e.event_id, o.o_orderdate AS last_order_date "
+            "FROM events e ASOF LEFT JOIN orders o "
+            "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
         ),
         "lineitem_open_orders": (
             "SELECT l_returnflag, count(*) AS n_lineitems FROM lineitem "

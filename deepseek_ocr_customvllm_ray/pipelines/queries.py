@@ -310,6 +310,32 @@ def q_distinct_langs_per_source(sf_dir: str):
     return out.map_batches(cast, batch_format="pyarrow")
 
 
+def q_events_last_order(sf_dir: str):
+    """As-of join: for each event, the o_orderdate of the user's latest
+    order at or before the event time (backward as-of; DuckDB ASOF JOIN
+    oracle).  One co-partitioned shuffle keyed on the int user key."""
+    from ..stages.joins import asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    out = asof_join(
+        events, orders,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        left_cols=["event_id"], right_cols=["o_orderdate"],
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        # the union-tag pattern pads each side's columns with nulls, which
+        # promotes int64 to float64 through pandas — cast back at the edge
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "last_order_date": batch["o_orderdate"].cast(pa.timestamp("us")),
+        })
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 def q_approx_distinct_texts(sf_dir: str):
     """HyperLogLog approximate distinct (mergeable-sketch pattern): one
     constant-size sketch per batch, merged driver-side.  Rows-only (the

@@ -1,0 +1,47 @@
+"""As-of join operator (co-partitioned union + merge_asof)."""
+
+import datetime as dt
+
+import pyarrow as pa
+
+
+def _mk(rows, schema):
+    return pa.table({k: [r[i] for r in rows] for i, k in enumerate(schema)})
+
+
+class TestAsofJoin:
+    def test_backward_match_and_unmatched(self, ray_session):
+        import ray.data as rd
+
+        from deepseek_ocr_customvllm_ray.stages.joins import asof_join
+
+        t0 = dt.datetime(2026, 1, 1)
+
+        def ts(d):
+            return t0 + dt.timedelta(days=d)
+
+        left = _mk(
+            [(1, 100, ts(10)), (2, 100, ts(1)), (3, 200, ts(5)), (4, 300, ts(5))],
+            ["event_id", "key", "ts"],
+        )
+        right = _mk(
+            [(100, ts(2), "a"), (100, ts(9), "b"), (200, ts(5), "c")],
+            ["key", "rts", "val"],
+        )
+        out = (
+            asof_join(
+                rd.from_arrow(left), rd.from_arrow(right),
+                left_key="key", right_key="key",
+                left_ts="ts", right_ts="rts",
+                left_cols=["event_id"], right_cols=["val"],
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        got = dict(zip(out["event_id"].astype(int), out["val"]))
+        assert got[1] == "b"      # latest right <= ts(10)
+        assert got[2] is None     # ts(1) precedes every right row
+        assert got[3] == "c"      # equal timestamps match (<=)
+        assert got[4] is None     # key with no right side at all
