@@ -3,24 +3,32 @@ general co-partitioned join pattern it demonstrates).
 
 Pattern (SURVEY §2.5 / ray_guide "As-of / range join"): tag each side,
 union the two datasets into one stream, hash-partition by the join key so
-both sides of a key co-locate, then resolve the join per key group with
-``pandas.merge_asof`` over ts-sorted frames.  One shuffle total, keyed on a
-small int; no driver-side materialization of either side.
+both sides of a key co-locate, then resolve the join per partition with ONE
+``pandas.merge_asof(..., by=key)`` over ts-sorted frames.  One shuffle
+total, keyed on a small int; no driver-side materialization of either side.
 
-Determinism: ties in the right side's timestamp are resolved before the
-merge by sorting on (ts, tiebreak columns); the matched VALUE columns are
-identical across tie choices when the tie rows agree on them (the oracle
-contract used by q_events_last_order).
+Determinism: right-side timestamp ties are resolved by sorting the right
+frame on (ts, value columns) before the merge, so the tie winner is a pure
+function of the data, not of block arrival order.
+
+Left-join semantics match SQL/DuckDB ``ASOF LEFT JOIN``: unmatched left
+rows keep nulls, and left rows with a NULL key are emitted unmatched (NULL
+never equals NULL).
+
+Caveat: the union pads each side's columns with nulls, which forces int64
+payload columns through pandas float64 inside the resolve stage — exact for
+|v| < 2^53; for 64-bit snowflake-style ids pass them as strings.
 """
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from .partition import with_hash_partition
+from .partition import with_hash_partition_int
 
 
 def asof_join(
@@ -39,6 +47,11 @@ def asof_join(
     ``pd.merge_asof`` / DuckDB ``ASOF JOIN`` semantics).  Unmatched left
     rows keep nulls.  Returns a Dataset of left_cols + right_cols.
     """
+    # snapshot column types on the DRIVER: the tag UDFs must close over
+    # plain dicts, never over the opposite Dataset (a captured Dataset would
+    # be re-executed inside worker tasks to answer .schema())
+    left_types = {c: _coltype(left_ds, c) for c in left_cols}
+    right_types = {c: _coltype(right_ds, c) for c in right_cols}
 
     def tag_left(batch: pa.Table) -> pa.Table:
         cols = {
@@ -48,18 +61,20 @@ def asof_join(
         }
         for c in left_cols:
             cols[f"l_{c}"] = batch[c]
-        for c in right_cols:
-            cols[f"r_{c}"] = pa.nulls(batch.num_rows, _coltype(right_ds, c))
+        for c, t in right_types.items():
+            cols[f"r_{c}"] = pa.nulls(batch.num_rows, t)
         return pa.table(cols)
 
     def tag_right(batch: pa.Table) -> pa.Table:
+        # right rows with a NULL key can never match; drop them at the map
+        batch = batch.filter(pc.is_valid(batch[right_key]))
         cols = {
             "_key": batch[right_key].cast(pa.int64()),
             "_ts": batch[right_ts],
             "_side": pa.array(["R"] * batch.num_rows, pa.string()),
         }
-        for c in left_cols:
-            cols[f"l_{c}"] = pa.nulls(batch.num_rows, _coltype(left_ds, c))
+        for c, t in left_types.items():
+            cols[f"l_{c}"] = pa.nulls(batch.num_rows, t)
         for c in right_cols:
             cols[f"r_{c}"] = batch[c]
         return pa.table(cols)
@@ -73,50 +88,48 @@ def asof_join(
     r_out = [f"r_{c}" for c in right_cols]
 
     def resolve(df: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for _, g in df.groupby("_key", sort=True):
-            left = g[g["_side"] == "L"].sort_values("_ts", kind="mergesort")
-            right = g[g["_side"] == "R"].sort_values("_ts", kind="mergesort")
-            if left.empty:
-                continue
+        # NULL-key or NULL-ts left rows: emit unmatched (SQL NULL semantics)
+        unmatched = df["_key"].isna() | df["_ts"].isna()
+        null_left = df[unmatched & (df["_side"] == "L")]
+        df = df[~unmatched]
+
+        left = df[df["_side"] == "L"].sort_values("_ts", kind="mergesort")
+        # deterministic tie winner: order right rows by (ts, values) — the
+        # primary _ts order satisfies merge_asof, and merge_asof backward
+        # picks the LAST of equal timestamps, i.e. the max by value columns
+        right = df[df["_side"] == "R"].sort_values(["_ts"] + r_out, kind="mergesort")
+        parts = []
+        if not left.empty:
             if right.empty:
-                outs.append(left[l_out + r_out])
-                continue
-            merged = pd.merge_asof(
-                left[["_ts"] + l_out].reset_index(drop=True),
-                right[["_ts"] + r_out].reset_index(drop=True),
-                on="_ts",
-                direction="backward",
-            )
-            outs.append(merged[l_out + r_out])
-        if not outs:
-            return pd.DataFrame({c: [] for c in l_out + r_out})
-        return pd.concat(outs, ignore_index=True)
+                parts.append(left[l_out + r_out])
+            else:
+                merged = pd.merge_asof(
+                    left[["_ts", "_key"] + l_out].reset_index(drop=True),
+                    right[["_ts", "_key"] + r_out].reset_index(drop=True),
+                    on="_ts",
+                    by="_key",
+                    direction="backward",
+                )
+                parts.append(merged[l_out + r_out])
+        if not null_left.empty:
+            parts.append(null_left[l_out + r_out])
+        if not parts:
+            # typed empty frame (object-dtype empties would emit a
+            # schema-drifting null block)
+            return df[l_out + r_out].iloc[0:0]
+        return pd.concat(parts, ignore_index=True)
 
     out = parted.groupby("_part").map_groups(resolve, batch_format="pandas")
 
     def strip_prefix(batch: pa.Table) -> pa.Table:
         cols = {}
-        for c in left_cols:
-            cols[c] = batch[f"l_{c}"]
-        for c in right_cols:
-            cols[c] = batch[f"r_{c}"]
+        for c, t in left_types.items():
+            cols[c] = batch[f"l_{c}"].cast(t)
+        for c, t in right_types.items():
+            cols[c] = batch[f"r_{c}"].cast(t)
         return pa.table(cols)
 
     return out.map_batches(strip_prefix, batch_format="pyarrow")
-
-
-def with_hash_partition_int(ds, key_col: str, n: int, out_col: str = "_part"):
-    """Hash-partition on an int64 key column (crc-mix then mod)."""
-    import numpy as np
-
-    def add(batch: pa.Table) -> pa.Table:
-        arr = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        mixed = (arr * np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-        parts = (mixed % np.uint64(n)).astype(np.int32)
-        return batch.append_column(out_col, pa.array(parts, pa.int32()))
-
-    return ds.map_batches(add, batch_format="pyarrow")
 
 
 def _coltype(ds, col: str) -> pa.DataType:

@@ -33,3 +33,26 @@ def with_hash_partition(ds, key_col: str, n: int, out_col: str = "_part"):
         return batch.append_column(out_col, pa.array(parts, pa.int32()))
 
     return ds.map_batches(add, batch_format="pyarrow")
+
+
+def with_hash_partition_int(ds, key_col: str, n: int, out_col: str = "_part"):
+    """Hash-partition on an int64 key column.
+
+    Mixing folds the high bits back down (``x ^= x >> 33``) before the mod,
+    so power-of-two ``n`` doesn't degenerate to ``key % n`` (strided or
+    low-bit-zeroed key spaces would otherwise land on one partition).  Null
+    keys go to partition 0; downstream resolvers handle them explicitly.
+    """
+
+    def add(batch: pa.Table) -> pa.Table:
+        col = batch[key_col]
+        arr = col.to_numpy(zero_copy_only=False)
+        null_mask = np.asarray(pa.compute.is_null(col.combine_chunks() if hasattr(col, "combine_chunks") else col))
+        vals = np.nan_to_num(arr.astype(np.float64), nan=0.0).astype(np.int64).astype(np.uint64)
+        mixed = (vals * np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        mixed ^= mixed >> np.uint64(33)
+        parts = (mixed % np.uint64(n)).astype(np.int32)
+        parts[null_mask] = 0
+        return batch.append_column(out_col, pa.array(parts, pa.int32()))
+
+    return ds.map_batches(add, batch_format="pyarrow")

@@ -45,3 +45,53 @@ class TestAsofJoin:
         assert got[2] is None     # ts(1) precedes every right row
         assert got[3] == "c"      # equal timestamps match (<=)
         assert got[4] is None     # key with no right side at all
+
+    def test_null_keys_kept_unmatched(self, ray_session):
+        import ray.data as rd
+
+        from deepseek_ocr_customvllm_ray.stages.joins import asof_join
+
+        t0 = dt.datetime(2026, 1, 1)
+        left = pa.table({
+            "event_id": [1, 2],
+            "key": pa.array([None, 100], pa.int64()),
+            "ts": pa.array([t0, t0], pa.timestamp("us")),
+        })
+        right = pa.table({
+            "key": pa.array([100, None], pa.int64()),
+            "rts": pa.array([t0, t0], pa.timestamp("us")),
+            "val": ["m", "never"],
+        })
+        out = (
+            asof_join(
+                rd.from_arrow(left), rd.from_arrow(right),
+                "key", "key", "ts", "rts", ["event_id"], ["val"], num_partitions=2,
+            )
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+        got = dict(zip(out["event_id"].astype(int), out["val"]))
+        assert got[1] is None     # null-key left row kept, unmatched
+        assert got[2] == "m"      # normal match; null-key right row ignored
+
+    def test_tie_winner_deterministic(self, ray_session):
+        import ray.data as rd
+
+        from deepseek_ocr_customvllm_ray.stages.joins import asof_join
+
+        t0 = dt.datetime(2026, 1, 1)
+        left = pa.table({
+            "event_id": [1],
+            "key": pa.array([5], pa.int64()),
+            "ts": pa.array([t0], pa.timestamp("us")),
+        })
+        right = pa.table({
+            "key": pa.array([5, 5], pa.int64()),
+            "rts": pa.array([t0, t0], pa.timestamp("us")),
+            "val": ["b", "a"],
+        })
+        for _ in range(3):
+            out = asof_join(
+                rd.from_arrow(left), rd.from_arrow(right),
+                "key", "key", "ts", "rts", ["event_id"], ["val"], num_partitions=2,
+            ).to_pandas()
+            assert out["val"].iloc[0] == "b"  # max by value columns
