@@ -162,20 +162,26 @@ def build_extract_pipeline_maponly(
 
     cfg = cfg or ExtractConfig()
     clone_rows = None
+    winners = {}
     if dedup:
-        # driver-side meta resolution (url+ts columns only); swap for the
+        # driver-side meta resolution (url/ts/byte-length columns only, with
+        # the same validation predicate as the route stage so an invalid
+        # earliest crawl can't shadow a later valid one); swap for the
         # distributed compute_dup_winners above ~10^7 input rows
-        winners, clone_rows = compute_dup_winners_local(pages_path)
-    else:
-        winners = {}
-    winners_ref = ray.put(winners)
+        winners, clone_rows = compute_dup_winners_local(
+            pages_path,
+            max_payload_mb=cfg.max_payload_mb,
+            columns=["url", "warc_ts", "html", "lang"],
+        )
 
     read_kw = {}
     if cfg.read_blocks:
         read_kw["override_num_blocks"] = cfg.read_blocks
     ds = read_pages(pages_path, **read_kw)
     ds = ds.map_batches(make_route_batch(cfg.max_payload_mb), batch_format="pyarrow")
-    ds = ds.map_batches(make_winner_filter(winners_ref), batch_format="pyarrow")
+    if winners:
+        winners_ref = ray.put(winners)
+        ds = ds.map_batches(make_winner_filter(winners_ref), batch_format="pyarrow")
     if clone_rows is not None:
         # canonical rows for exact-clone urls rejoin AFTER the loser filter
         import ray.data as rd

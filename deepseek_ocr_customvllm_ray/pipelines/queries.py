@@ -130,6 +130,13 @@ def q_length_buckets(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         arr = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        arr = arr[arr > 0]  # guard log2(0) -> -inf (oracle filters alike)
+        if arr.size == 0:
+            return pa.table({
+                "bucket": pa.array([], pa.int64()),
+                "n_docs_p": pa.array([], pa.int64()),
+                "total_chars_p": pa.array([], pa.int64()),
+            })
         buckets = np.floor(np.log2(arr)).astype(np.int64)
         uniq, inv = np.unique(buckets, return_inverse=True)
         n = np.bincount(inv)

@@ -27,6 +27,7 @@ import pyarrow as pa
 from ..config import ExtractConfig
 from ..state.manifest import (
     clean_partial_shards,
+    host_of_url,
     read_manifest,
     shard_of_host,
     write_manifest_record,
@@ -36,13 +37,10 @@ from .extract import build_extract_pipeline, read_pages
 
 
 def _add_shard(batch: pa.Table, n_shards: int) -> pa.Table:
-    hosts = []
-    for u in batch["url"].to_pylist():
-        i = u.find("://")
-        rest = u[i + 3 :] if i >= 0 else u
-        j = rest.find("/")
-        hosts.append(rest if j < 0 else rest[:j])
-    sids = pa.array([shard_of_host(h, n_shards) for h in hosts], pa.int32())
+    sids = pa.array(
+        [shard_of_host(host_of_url(u), n_shards) for u in batch["url"].to_pylist()],
+        pa.int32(),
+    )
     return batch.append_column("shard_id", sids)
 
 
@@ -53,10 +51,14 @@ def run_resumable(
     cfg: Optional[ExtractConfig] = None,
     only_shards: Optional[Set[int]] = None,
 ) -> dict:
-    """Returns {"completed_before", "processed", "skipped"} shard-id lists.
+    """Returns {"completed_before", "removed_partial", "processed"}
+    shard-id lists.
 
     ``only_shards`` restricts processing (used by tests to simulate a run
-    that crashed after finishing a subset of shards).
+    that crashed after finishing a subset of shards).  Every candidate
+    shard (in scope and not previously completed) gets a manifest record
+    after this run — shards whose remaining input yields zero documents get
+    a zero record, so resume converges instead of re-reading them forever.
     """
     import ray
 
@@ -95,6 +97,17 @@ def run_resumable(
         records = shard_lineage_records(docs, n_shards)
     else:
         records = []
+    # zero records for in-scope shards that produced no documents (all-
+    # corrupt / all-invalid input): they are DONE, not pending
+    candidates = set(range(n_shards)) - completed
+    if only_shards is not None:
+        candidates &= set(only_shards)
+    have = {r["shard_id"] for r in records}
+    for sid in sorted(candidates - have):
+        records.append({
+            "shard_id": sid, "n_docs": 0, "n_pages": 0, "md_bytes": 0,
+            "content_hash": 0, "n_hosts": 0,
+        })
     for rec in records:
         write_manifest_record(out_dir, rec)
 

@@ -120,11 +120,17 @@ def run_golden(pages_table: pa.Table, cfg: ExtractConfig = None) -> pa.Table:
     cfg = cfg or ExtractConfig()
     import hashlib
 
+    # validation precedes dedup (reference-faithful: a rejected upload never
+    # enters the job store, app/api/routes/ocr.py:33-43 — so an invalid
+    # earliest crawl does NOT shadow a later valid one)
+    cap = cfg.max_payload_mb * 1024 * 1024
     best: Dict[str, tuple] = {}
     for i in range(pages_table.num_rows):
+        payload = pages_table["html"][i].as_py()
+        if not payload or len(payload) > cap:
+            continue
         url = pages_table["url"][i].as_py()
         ts = pages_table["warc_ts"][i].as_py()
-        payload = pages_table["html"][i].as_py()
         key = (ts, hashlib.sha1(payload).hexdigest())
         if url not in best or key < best[url][0]:
             best[url] = (key, ts, payload)

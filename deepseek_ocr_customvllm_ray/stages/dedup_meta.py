@@ -30,17 +30,33 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def compute_dup_winners_local(pages_path) -> Tuple[dict, Optional[pa.Table]]:
-    """Driver-side fast path: the meta columns (url, warc_ts) of the whole
-    input are a few bytes per row — for inputs up to ~10^7 rows reading them
-    into the driver and resolving winners with pandas is faster than any
-    distributed groupby (no shuffle, no task overhead).  Above that, use
-    :func:`compute_dup_winners` (same contract, distributed).
+def compute_dup_winners_local(
+    pages_path, max_payload_mb: int = 200, columns=None
+) -> Tuple[dict, Optional[pa.Table]]:
+    """Driver-side fast path: the meta columns (url, warc_ts, byte length)
+    of the whole input are a few bytes per row — for inputs up to ~10^7 rows
+    reading them into the driver and resolving winners with pandas is faster
+    than any distributed groupby (no shuffle, no task overhead).  Above
+    that, use :func:`compute_dup_winners` (same contract, distributed).
+
+    Validation precedes dedup: rows the route stage would drop (empty or
+    over the size cap) are excluded BEFORE winner selection, so an invalid
+    earliest crawl cannot shadow a later valid one (matching the golden
+    driver and the route-then-dedup pipelines).
     """
     import pyarrow.dataset as pads
 
+    columns = columns or ["url", "warc_ts", "html", "lang"]
+    cap = max_payload_mb * 1024 * 1024
     dataset = pads.dataset(pages_path, format="parquet")
-    meta = dataset.to_table(columns=["url", "warc_ts"]).to_pandas()
+    meta = dataset.to_table(
+        columns={
+            "url": pads.field("url"),
+            "warc_ts": pads.field("warc_ts"),
+            "blen": pc.binary_length(pads.field("html")),
+        }
+    ).to_pandas()
+    meta = meta[(meta["blen"] > 0) & (meta["blen"] <= cap)]
     counts = meta["url"].value_counts()
     dup_urls = set(counts[counts > 1].index)
     if not dup_urls:
@@ -60,7 +76,8 @@ def compute_dup_winners_local(pages_path) -> Tuple[dict, Optional[pa.Table]]:
     clone_rows = None
     if tie_urls:
         tied = dataset.to_table(
-            filter=pads.field("url").isin(sorted(tie_urls))
+            columns=columns,  # match the pipeline's pruned read schema
+            filter=pads.field("url").isin(sorted(tie_urls)),
         )
         best_rows: Dict[str, Tuple] = {}
         mt = {u: min_ts[u] for u in tie_urls}
@@ -69,9 +86,17 @@ def compute_dup_winners_local(pages_path) -> Tuple[dict, Optional[pa.Table]]:
             ts = tied["warc_ts"][i].as_py()
             if ts != (mt[u].to_pydatetime() if hasattr(mt[u], "to_pydatetime") else mt[u]):
                 continue
-            sha = hashlib.sha1(tied["html"][i].as_py()).hexdigest()
+            payload = tied["html"][i].as_py()
+            if not payload or len(payload) > cap:
+                continue
+            sha = hashlib.sha1(payload).hexdigest()
             if u not in best_rows or sha < best_rows[u][0]:
                 best_rows[u] = (sha, tied.slice(i, 1))
+        if set(best_rows) != tie_urls:
+            # a tie url with no resolvable row means the meta view and the
+            # payload view disagree — refuse rather than leak duplicates
+            missing = sorted(tie_urls - set(best_rows))[:3]
+            raise ValueError(f"unresolvable timestamp ties for urls {missing}")
         clone_tables = []
         for u, (sha, row) in best_rows.items():
             winners[u] = ("__CLONE__", None)
@@ -140,8 +165,13 @@ def compute_dup_winners(meta_ds, payload_ds=None):
         cand = payload_ds.map_batches(tie_rows, batch_format="pyarrow").to_arrow_refs()
         import ray as _r
 
-        tables = [_r.get(r) for r in cand]
-        tied = pa.concat_tables([t for t in tables if t.num_rows]) if tables else None
+        tables = [t for r in cand if (t := _r.get(r)).num_rows]
+        tied = pa.concat_tables(tables) if tables else None
+        if tied is None:
+            raise ValueError(
+                "timestamp ties present in meta_ds but no matching rows in "
+                "payload_ds — the two views disagree"
+            )
         best_rows: Dict[str, Tuple] = {}
         if tied is not None:
             for i in range(tied.num_rows):
@@ -158,26 +188,30 @@ def compute_dup_winners(meta_ds, payload_ds=None):
 
 
 def make_winner_filter(winners_ref):
-    """Vectorized keep-predicate over a broadcast winner map: non-dup urls
-    pass; dup urls pass only the winning (ts) row; clone urls never pass
-    (their canonical row is unioned separately)."""
+    """Keep-predicate over a broadcast winner map: non-dup urls pass with a
+    zero-copy ``is_in`` mask; only the rare dup-url rows pay a per-row
+    Python check (dup urls pass only the winning (ts) row; clone urls never
+    pass — their canonical row is unioned separately)."""
     import ray
 
     def fn(batch: pa.Table) -> pa.Table:
         winners = ray.get(winners_ref)
         if not winners:
             return batch
+        dup_mask = pc.is_in(
+            batch["url"], value_set=pa.array(list(winners), pa.string())
+        )
+        if not pc.any(dup_mask).as_py():
+            return batch  # common case: nothing to filter, zero copies
+        keep = dup_mask.to_pylist()
         urls = batch["url"].to_pylist()
         tss = batch["warc_ts"].to_pylist()
-        keep = []
-        for u, ts in zip(urls, tss):
-            w = winners.get(u)
-            if w is None:
-                keep.append(True)
-            elif w[0] == "__CLONE__":
-                keep.append(False)
-            else:
-                keep.append(ts == w[0])
+        for i, is_dup in enumerate(keep):
+            if not is_dup:
+                keep[i] = True
+                continue
+            w = winners[urls[i]]
+            keep[i] = w[0] != "__CLONE__" and tss[i] == w[0]
         return batch.filter(pa.array(keep, pa.bool_()))
 
     return fn

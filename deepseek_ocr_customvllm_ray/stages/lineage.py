@@ -17,7 +17,7 @@ from typing import List
 
 import pyarrow as pa
 
-from ..state.manifest import doc_hash63, shard_of_host
+from ..state.manifest import doc_hash63, host_of_url, shard_of_host
 
 
 def make_lineage_partials(n_shards: int):
@@ -29,10 +29,7 @@ def make_lineage_partials(n_shards: int):
         n_pages = batch["n_pages"].to_pylist()
         agg = {}
         for url, md, np_ in zip(urls, mds, n_pages):
-            i = url.find("://")
-            rest = url[i + 3 :] if i >= 0 else url
-            j = rest.find("/")
-            host = rest if j < 0 else rest[:j]
+            host = host_of_url(url)
             sid = shard_of_host(host, n_shards)
             key = (sid, host)
             cur = agg.setdefault(key, [0, 0, 0, 0])

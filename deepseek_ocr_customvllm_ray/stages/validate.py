@@ -23,17 +23,13 @@ import pyarrow.compute as pc
 
 
 def _hosts_of(urls) -> pa.Array:
-    # url -> netloc; vectorized enough (urls are short); avoids urllib cost
+    # url -> netloc via the ONE shared parser (state/manifest.host_of_url)
+    from ..state.manifest import host_of_url
+
     out = []
     for u in urls:
         s = u.as_py() if hasattr(u, "as_py") else u
-        if s is None:
-            out.append("")
-            continue
-        i = s.find("://")
-        rest = s[i + 3:] if i >= 0 else s
-        j = rest.find("/")
-        out.append(rest if j < 0 else rest[:j])
+        out.append("" if s is None else host_of_url(s))
     return pa.array(out, pa.string())
 
 

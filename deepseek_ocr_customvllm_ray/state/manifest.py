@@ -35,6 +35,16 @@ def shard_of_host(host: str, n_shards: int) -> int:
     return zlib.crc32(host.encode("utf-8")) % n_shards
 
 
+def host_of_url(url: str) -> str:
+    """netloc of a url (shared by routing, lineage, and shard assignment —
+    keep ONE implementation so manifest shard ids can never drift from
+    input-side shard filtering)."""
+    i = url.find("://")
+    rest = url[i + 3:] if i >= 0 else url
+    j = rest.find("/")
+    return rest if j < 0 else rest[:j]
+
+
 def doc_hash63(url: str, markdown: str) -> int:
     d = hashlib.sha1()
     d.update(url.encode("utf-8"))
@@ -86,7 +96,10 @@ def clean_partial_shards(out_dir: str, completed: Set[int]) -> List[int]:
     for name in os.listdir(out_dir):
         if not name.startswith("shard_id="):
             continue
-        sid = int(name.split("=", 1)[1])
+        try:
+            sid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue  # stray non-numeric partition dir — leave it alone
         if sid not in completed:
             shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
             removed.append(sid)

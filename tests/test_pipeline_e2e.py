@@ -195,3 +195,38 @@ def test_n_image_tokens_accounted(golden):
     # every page contributes at least the global view (16*17+1 = 273)
     assert (pdfs["n_image_tokens"] >= 273 * 1).all()
     assert (gdf[gdf["doc_kind"] == "html"]["n_image_tokens"] == 0).all()
+
+
+def test_invalid_earliest_dup_does_not_shadow(ray_session, tmp_path):
+    """Validation precedes dedup: a duplicate url whose EARLIEST crawl is
+    invalid (empty / oversize) must not shadow the later valid crawl
+    (regression for the map-only winner-resolution bug)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepseek_ocr_customvllm_ray.pipelines.extract import (
+        build_extract_pipeline_maponly,
+    )
+
+    valid = b"<html><body><div id=m><p>the real body text of this page, long enough to extract.</p></div></body></html>"
+    t = pa.table({
+        "url": ["https://a/s", "https://a/s", "https://a/t"],
+        "warc_ts": pa.array(
+            [dt.datetime(2026, 1, 1), dt.datetime(2026, 2, 1), dt.datetime(2026, 1, 5)],
+            pa.timestamp("us"),
+        ),
+        "html": pa.array([b"", valid, valid], pa.binary()),  # earliest dup is EMPTY
+        "text": [""] * 3,
+        "lang": ["en"] * 3,
+    })
+    p = str(tmp_path / "shadow.parquet")
+    pq.write_table(t, p)
+
+    out = build_extract_pipeline_maponly(p, ExtractConfig()).to_pandas()
+    assert sorted(out["url"]) == ["https://a/s", "https://a/t"]
+    assert "real body text" in out.set_index("url").loc["https://a/s", "extracted_text"]
+
+    golden_out = run_golden(t).to_pandas()
+    assert sorted(golden_out["url"]) == sorted(out["url"])
