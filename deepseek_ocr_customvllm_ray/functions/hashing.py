@@ -29,17 +29,24 @@ def word_shingles(text: str, k: int = 3) -> Set[str]:
 
 
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """uint64 crc32-based hashes of the shingle set (sorted, deduped)."""
+    """True uint64 hashes of the shingle set (blake2b 8-byte digests —
+    crc32's 32 bits would collide distinct shingles at crawl scale and
+    inflate similarity), sorted and deduped."""
+    from hashlib import blake2b
+
     sh = word_shingles(text, k)
     if not sh:
         return np.zeros(0, dtype=np.uint64)
-    vals = np.fromiter(
-        (zlib.crc32(s.encode("utf-8")) for s in sh), dtype=np.uint64, count=len(sh)
+    return np.unique(
+        np.fromiter(
+            (
+                int.from_bytes(blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
+                for s in sh
+            ),
+            dtype=np.uint64,
+            count=len(sh),
+        )
     )
-    # spread crc32's 32 bits over 64 via a splitmix-style finalizer
-    vals = (vals * np.uint64(0x9E3779B97F4A7C15)) & _MAXH
-    vals ^= vals >> np.uint64(31)
-    return np.unique(vals)
 
 
 def minhash_params(num_perm: int, seed: int = 1234):
@@ -59,8 +66,12 @@ def minhash_signature(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.nd
     num_perm = len(a)
     if hashes.size == 0:
         return np.full(num_perm, int(_MERSENNE), dtype=np.uint64)
-    # (P, 1) * (1, N) mod p — uint64 wraparound is fine pre-mod because p is
-    # Mersenne 2^61-1 and inputs are < 2^61 after masking
+    # NOTE: the uint64 product wraps mod 2^64 BEFORE the mod-p reduction, so
+    # this is a fixed 64-bit mixing family, NOT the textbook universal
+    # (a*h+b) mod p (2^64 is not a multiple of p).  It is deterministic,
+    # self-consistent, and empirically near-uniform — which is what the
+    # Jaccard estimator needs — but an independent implementation of the
+    # textbook family will not reproduce these signatures.
     hv = hashes & ((np.uint64(1) << np.uint64(61)) - np.uint64(1))
     prod = (a[:, None] * hv[None, :] + b[:, None]) % _MERSENNE
     return prod.min(axis=1)
@@ -93,23 +104,30 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word tokens (crc32-spread hashes, bit vote)."""
+    """Full 64-bit SimHash over word tokens (blake2b hashes, bit vote).
+    Returned as a SIGNED int64 reinterpretation (arrow-storable) — no vote
+    bit is discarded; use :func:`hamming64`, which masks back to unsigned."""
+    from hashlib import blake2b
+
     words = text.lower().split()
     if not words:
         return 0
     vals = np.fromiter(
-        (zlib.crc32(w.encode("utf-8")) for w in words), dtype=np.uint64, count=len(words)
+        (
+            int.from_bytes(blake2b(w.encode("utf-8"), digest_size=8).digest(), "little")
+            for w in words
+        ),
+        dtype=np.uint64,
+        count=len(words),
     )
-    vals = (vals * np.uint64(0x9E3779B97F4A7C15)) & _MAXH
-    vals ^= vals >> np.uint64(31)
     bits = ((vals[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
     votes = (2 * bits - 1).sum(axis=0)
     out = np.uint64(0)
     for i in range(64):
         if votes[i] > 0:
             out |= np.uint64(1) << np.uint64(i)
-    return int(out >> np.uint64(1))  # int64-safe
+    return int(np.int64(out))  # signed two's-complement reinterpret
 
 
 def hamming64(x: int, y: int) -> int:
-    return bin(x ^ y).count("1")
+    return bin((x ^ y) & 0xFFFFFFFFFFFFFFFF).count("1")

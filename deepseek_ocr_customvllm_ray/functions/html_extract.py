@@ -8,10 +8,12 @@ main text and (b) markdown using the same block grammar the PDF branch feeds
 into ``functions.blocks.process_ocr_to_blocks``.
 
 Scoring (classic Readability heuristics, public algorithm):
-- kill subtrees: script/style/nav/footer/header/aside/form/noscript/iframe/
-  button/select/option/template, plus any element whose id/class matches the
-  negative pattern (comment|sidebar|menu|banner|ad-|advert|promo|related|
-  share|social|breadcrumb|pagination|cookie);
+- kill subtrees at parse time: script/style/nav/footer/header/aside/form/
+  noscript/iframe/button/select/option/template; elements whose id/class
+  matches the negative pattern (comment|sidebar|menu|banner|ad-|advert|
+  promo|related|share|social|breadcrumb|pagination|cookie) are score-
+  PENALIZED as candidates (−25), not removed — they leak only when the
+  winning container is their ancestor;
 - candidate containers: article/main/body/div/section/td;
 - score(candidate) = sum over descendant paragraphs of
   (min(text_len, 1000)/100 + comma_count) , scaled by (1 - link_density)
@@ -103,15 +105,21 @@ class _TreeBuilder(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.root = Node("#root", {}, None)
         self.cur: Node = self.root
-        self._kill_depth = 0
+        # killed-subtree tracking is keyed on the KILL TAG's own name (depth
+        # of same-name nesting), not on every open tag — crawled HTML is full
+        # of implicitly-closed <li>/<p> whose missing end tags would desync a
+        # naive depth counter and swallow the rest of the document
+        self._kill_tag: str = ""
+        self._kill_same = 0
 
     def handle_starttag(self, tag: str, attrs) -> None:
-        if self._kill_depth:
-            if tag not in _VOID_TAGS:
-                self._kill_depth += 1
+        if self._kill_same:
+            if tag == self._kill_tag:
+                self._kill_same += 1
             return
         if tag in _KILL_TAGS:
-            self._kill_depth = 1
+            self._kill_tag = tag
+            self._kill_same = 1
             return
         node = Node(tag, dict(attrs), self.cur)
         self.cur.children.append(node)
@@ -119,14 +127,14 @@ class _TreeBuilder(HTMLParser):
             self.cur = node
 
     def handle_startendtag(self, tag: str, attrs) -> None:
-        if self._kill_depth or tag in _KILL_TAGS:
+        if self._kill_same or tag in _KILL_TAGS:
             return
         self.cur.children.append(Node(tag, dict(attrs), self.cur))
 
     def handle_endtag(self, tag: str) -> None:
-        if self._kill_depth:
-            if tag not in _VOID_TAGS:
-                self._kill_depth = max(0, self._kill_depth - 1)
+        if self._kill_same:
+            if tag == self._kill_tag:
+                self._kill_same -= 1
             return
         # close the nearest open ancestor with this tag (tolerant of bad HTML)
         node = self.cur
@@ -136,7 +144,7 @@ class _TreeBuilder(HTMLParser):
             self.cur = node.parent
 
     def handle_data(self, data: str) -> None:
-        if self._kill_depth:
+        if self._kill_same:
             return
         if data and not data.isspace():
             self.cur.children.append(data)
@@ -229,7 +237,11 @@ def _emit_markdown(node: Node, out: List[str], depth: int = 0) -> None:
                 ]
                 if cells:
                     rows.append("| " + " | ".join(cells) + " |")
-        out.extend(rows)
+        if rows:
+            # ONE block: newline-joined rows form a valid markdown table that
+            # the block grammar parses as a single table (blank-line-joined
+            # rows would fragment into one-row tables)
+            out.append("\n".join(rows))
         return
     # container: recurse, collecting stray text runs as paragraphs
     stray: List[str] = []

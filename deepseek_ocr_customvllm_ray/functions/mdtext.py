@@ -126,28 +126,34 @@ def figure_crop_boxes(
     image-labelled box, denormalise; keep only boxes with width>2 and
     height>2 px; successful crops are named ``{page_no}_{k}.jpg`` where ``k``
     increments only on saved crops.  Returns ``[(name, (l,t,r,b)), ...]``.
+
+    Failure semantics match the reference exactly: a coordinate PARSE
+    failure skips just that ref (``extract_coordinates_and_label`` returns
+    None, guarded by ``if result:``), but a malformed box that raises during
+    unpacking/denormalisation aborts ALL remaining crops on the page while
+    keeping those already produced — ``draw_bounding_boxes`` raises out of
+    its loop and ``process_ocr_output`` catches at page level
+    (postprocess_md.py:258-263).
     """
     matches, _, _ = re_match(content)
     out: List[Tuple[str, Tuple[int, int, int, int]]] = []
     img_idx = 0
-    for ref in matches:
-        result = extract_coordinates_and_label(ref)
-        if not result:
-            continue
-        label, points_list = result
-        try:
-            boxes = list(points_list)
-        except TypeError:
-            continue
-        for points in boxes:
-            try:
-                left, top, right, bottom = denormalize_box(points, width, height)
-            except Exception:
+    try:
+        for ref in matches:
+            result = extract_coordinates_and_label(ref)
+            if not result:
                 continue
-            if label == "image":
-                if (right - left) > 2 and (bottom - top) > 2:
-                    out.append((f"{page_no}_{img_idx}.jpg", (left, top, right, bottom)))
-                    img_idx += 1
+            label, points_list = result
+            for points in points_list:
+                left, top, right, bottom = denormalize_box(points, width, height)
+                if label == "image":
+                    if (right - left) > 2 and (bottom - top) > 2:
+                        out.append(
+                            (f"{page_no}_{img_idx}.jpg", (left, top, right, bottom))
+                        )
+                        img_idx += 1
+    except Exception:
+        pass  # page-level abort: keep crops made so far, stop cropping
     return out
 
 

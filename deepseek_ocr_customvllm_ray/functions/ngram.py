@@ -115,13 +115,21 @@ def suppress_repeats_text(
     """Apply :func:`suppress_repeats` to whitespace tokens, preserving
     newline structure: each line is tokenized on spaces, the suppressor runs
     over the whole document stream with ``"\\n"`` as an ordinary token so
-    cross-line repeats are caught like the decoder's flat token stream."""
+    cross-line repeats are caught like the decoder's flat token stream.
+
+    Pages where NOTHING is suppressed return byte-identically (the common
+    case, and required so the suppressor never perturbs repeat-free input);
+    when suppression fires, reassembly normalizes runs of spaces — the
+    decode output changed anyway.
+    """
     toks: List[str] = []
     for i, line in enumerate(text.split("\n")):
         if i:
             toks.append("\n")
         toks.extend(t for t in line.split(" ") if t != "")
     kept = suppress_repeats(toks, ngram_size, window_size, whitelist)
+    if len(kept) == len(toks):
+        return text  # nothing banned -> byte-identical passthrough
     # Reassemble: newline tokens delimit lines; other tokens joined by spaces.
     lines: List[List[str]] = [[]]
     for t in kept:

@@ -10,7 +10,7 @@ for HLL registers) — the pre-aggregate pattern with constant-size partials.
 
 from __future__ import annotations
 
-import zlib
+from hashlib import blake2b
 from typing import Iterable, List
 
 import numpy as np
@@ -19,14 +19,16 @@ _MAXH = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 def _hash64(values: Iterable[str]) -> np.ndarray:
-    vals = np.fromiter(
-        (zlib.crc32(v.encode("utf-8")) for v in values), dtype=np.uint64
+    """True 64-bit hashes (blake2b/8-byte digests).  A crc32-based mix
+    would cap entropy at 2^32 — birthday collisions at ~10^5 keys, HLL
+    saturation near 4.3e9 — unacceptable for crawl-scale sketching."""
+    return np.fromiter(
+        (
+            int.from_bytes(blake2b(v.encode("utf-8"), digest_size=8).digest(), "little")
+            for v in values
+        ),
+        dtype=np.uint64,
     )
-    vals = (vals * np.uint64(0x9E3779B97F4A7C15)) & _MAXH
-    vals ^= vals >> np.uint64(31)
-    vals = (vals * np.uint64(0xBF58476D1CE4E5B9)) & _MAXH
-    vals ^= vals >> np.uint64(27)
-    return vals
 
 
 class BloomFilter:

@@ -38,11 +38,24 @@ _HOT_HOST = "hot.example.com"
 _EPOCH = _dt.datetime(2026, 1, 1)
 
 
-_WORDS_SCALE = 1  # set by generate_pages; scales emission sizes for bench corpora
+class _ScaledRng:
+    """Thin proxy over a numpy Generator carrying the emission-size scale —
+    passed to the family builders in place of a bare Generator so the scale
+    is call-scoped (a module global would race across concurrent corpus
+    generations and break the pure-function-of-seed contract)."""
+
+    __slots__ = ("rng", "words_scale")
+
+    def __init__(self, rng: np.random.Generator, words_scale: int = 1):
+        self.rng = rng
+        self.words_scale = max(1, int(words_scale))
+
+    def __getattr__(self, name):
+        return getattr(self.rng, name)
 
 
-def _words(rng: np.random.Generator, n: int) -> str:
-    n = n * _WORDS_SCALE
+def _words(rng, n: int) -> str:
+    n = n * getattr(rng, "words_scale", 1)
     return " ".join(_WORDS[i] for i in rng.integers(0, len(_WORDS), n))
 
 
@@ -66,8 +79,11 @@ def _em_md_table(rng) -> str:
 
 
 def _em_html_table(rng) -> str:
+    # td tags are whitespace-separated tokens: the word-token n-gram
+    # suppressor's whitelist (<td>, </td>) can then exempt them, mirroring
+    # the reference's vocab-id whitelist {128821,128822}
     cells = lambda: "".join(
-        f"<td>{_words(rng, 2)}</td>" for _ in range(int(rng.integers(2, 4)))
+        f"<td> {_words(rng, 2)} </td>" for _ in range(int(rng.integers(2, 4)))
     )
     table = "<table>" + "".join(f"<tr>{cells()}</tr>" for _ in range(int(rng.integers(2, 5)))) + "</table>"
     return _words(rng, 10) + "\n" + table + "\n" + _words(rng, 5)
@@ -221,9 +237,7 @@ def generate_pages(
     duplicate urls are appended at the end with LATER warc_ts and different
     payloads (dedup keeps the earliest).
     """
-    global _WORDS_SCALE
-    _WORDS_SCALE = max(1, int(words_scale))
-    rng = np.random.default_rng(seed)
+    rng = _ScaledRng(np.random.default_rng(seed), words_scale)
     urls: List[str] = []
     ts: List[_dt.datetime] = []
     payloads: List[bytes] = []

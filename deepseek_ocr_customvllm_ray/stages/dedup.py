@@ -256,10 +256,11 @@ def simhash_near_dup_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3)
     def explode_bands(batch: pa.Table) -> pa.Table:
         ids, bnos, keys, sigs = [], [], [], []
         for i, s in zip(batch["id"].to_pylist(), batch["simhash"].to_pylist()):
+            u = s & 0xFFFFFFFFFFFFFFFF  # unsigned view of the int64 simhash
             for bn in range(4):
                 ids.append(i)
                 bnos.append(bn)
-                keys.append((s >> (16 * bn)) & 0xFFFF)
+                keys.append((u >> (16 * bn)) & 0xFFFF)
                 sigs.append(s)
         return pa.table({
             "id": pa.array(ids), "band_no": pa.array(bnos, pa.int32()),

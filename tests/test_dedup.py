@@ -43,7 +43,9 @@ class TestKernels:
         assert hx.hamming64(h1, hx.simhash64(t3)) > hx.hamming64(h1, h2)
 
     def test_simhash_int64_safe(self):
-        assert 0 <= hx.simhash64("x y z") < 2 ** 63
+        v = hx.simhash64("x y z")
+        assert -(2 ** 63) <= v < 2 ** 63  # signed 64-bit reinterpret
+        assert hx.hamming64(v, v) == 0
 
 
 # --- stage-level ----------------------------------------------------------
