@@ -31,8 +31,29 @@ from ..config import EOS_TOKEN, PAGE_SPLIT_MARKER, ExtractConfig
 from . import mdtext, tiling
 from .blocks import process_ocr_to_blocks
 from .fakemedia import fake_crop_jpeg
-from .html_extract import extract_markdown, extract_text
+from .html_extract import extract_markdown_and_text
 from .ngram import suppress_repeats_text
+
+
+def document_envelope(url: str, warc_ts_iso: str, content_pages: list) -> str:
+    """THE doc_json serialization (ocr_service.py:161-174 shape with the
+    exact ``json.dumps(ensure_ascii=False, indent=2)`` arguments).  Single
+    definition — golden, merge, and the distributed html path all call this,
+    so the byte-identity surface cannot drift between copies."""
+    return json.dumps(
+        {
+            "document": {
+                "metadata": {
+                    "source_filename": url,
+                    "total_pages": len(content_pages),
+                    "processed_at": warc_ts_iso,
+                },
+                "content": content_pages,
+            }
+        },
+        ensure_ascii=False,
+        indent=2,
+    )
 
 
 def mock_decode(emission: str, cfg: ExtractConfig) -> str:
@@ -119,20 +140,7 @@ def merge_document(
     content_pages = [
         {"page_number": i + 1, "blocks": p["blocks"]} for i, p in enumerate(pages)
     ]
-    doc_json = json.dumps(
-        {
-            "document": {
-                "metadata": {
-                    "source_filename": url,
-                    "total_pages": len(pages),
-                    "processed_at": warc_ts_iso,
-                },
-                "content": content_pages,
-            }
-        },
-        ensure_ascii=False,
-        indent=2,
-    )
+    doc_json = document_envelope(url, warc_ts_iso, content_pages)
     flat_blocks: List[dict] = []
     for p in pages:
         flat_blocks.extend(p["blocks"])
@@ -158,23 +166,9 @@ def html_document(url: str, warc_ts_iso: str, html_bytes: bytes) -> Dict[str, An
     analog).  Single logical page; block grammar shared with the PDF branch.
     """
     html = html_bytes.decode("utf-8", errors="replace")
-    markdown = extract_markdown(html)
-    text = extract_text(html)
+    markdown, text = extract_markdown_and_text(html)  # ONE dom parse
     blocks = process_ocr_to_blocks(markdown)
-    doc_json = json.dumps(
-        {
-            "document": {
-                "metadata": {
-                    "source_filename": url,
-                    "total_pages": 1,
-                    "processed_at": warc_ts_iso,
-                },
-                "content": [{"page_number": 1, "blocks": blocks}],
-            }
-        },
-        ensure_ascii=False,
-        indent=2,
-    )
+    doc_json = document_envelope(url, warc_ts_iso, [{"page_number": 1, "blocks": blocks}])
     return {
         "url": url,
         "doc_kind": "html",

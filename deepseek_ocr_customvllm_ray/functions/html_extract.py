@@ -268,24 +268,17 @@ def _emit_markdown(node: Node, out: List[str], depth: int = 0) -> None:
     flush()
 
 
-def extract_markdown(html: str) -> str:
-    """Main-content markdown: blocks separated by blank lines."""
+def _main_blocks(html: str) -> List[str]:
+    """One parse+score+emit pass -> main-content block strings."""
     main = select_main(parse_dom(html))
     if main is None:
-        return ""
+        return []
     out: List[str] = []
     _emit_markdown(main, out)
-    return "\n\n".join(b for b in out if b)
+    return out
 
 
-def extract_text(html: str) -> str:
-    """Main-content plain text: block texts joined by ``"\\n\\n"``; markdown
-    markers are not included (headings/list items appear as bare text)."""
-    main = select_main(parse_dom(html))
-    if main is None:
-        return ""
-    out: List[str] = []
-    _emit_markdown(main, out)
+def _blocks_to_text(out: List[str]) -> str:
     cleaned: List[str] = []
     for b in out:
         if not b:
@@ -301,6 +294,25 @@ def extract_text(html: str) -> str:
             continue
         cleaned.append(b)
     return "\n\n".join(cleaned)
+
+
+def extract_markdown(html: str) -> str:
+    """Main-content markdown: blocks separated by blank lines."""
+    return "\n\n".join(b for b in _main_blocks(html) if b)
+
+
+def extract_text(html: str) -> str:
+    """Main-content plain text: block texts joined by ``"\\n\\n"``; markdown
+    markers are not included (headings/list items appear as bare text)."""
+    return _blocks_to_text(_main_blocks(html))
+
+
+def extract_markdown_and_text(html: str) -> tuple:
+    """(markdown, text) from a SINGLE parse — the DOM parse + scoring is the
+    dominant cost of the html branch; callers needing both outputs must not
+    pay it twice."""
+    out = _main_blocks(html)
+    return "\n\n".join(b for b in out if b), _blocks_to_text(out)
 
 
 def extract_title(html: str) -> str:

@@ -131,6 +131,8 @@ def run_golden(pages_table: pa.Table, cfg: ExtractConfig = None) -> pa.Table:
             continue
         url = pages_table["url"][i].as_py()
         ts = pages_table["warc_ts"][i].as_py()
+        if url is None or ts is None:
+            continue
         key = (ts, hashlib.sha1(payload).hexdigest())
         if url not in best or key < best[url][0]:
             best[url] = (key, ts, payload)

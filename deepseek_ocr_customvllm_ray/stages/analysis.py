@@ -15,14 +15,13 @@ def make_token_count_batch(text_col: str, id_col: str):
     (split_pattern + list_value_length — no Python loop)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        toks = pc.list_value_length(
-            pc.split_pattern_regex(batch[text_col], pattern=r"\s+")
-        )
-        # split on a regex counts empty leading/trailing fields; texts are
-        # trimmed in this corpus, but guard by recomputing exact count for
-        # empty strings
+        # trim first: a regex split counts empty boundary fields, so
+        # untrimmed (' a b ' -> 4) and whitespace-only ('  ' -> 2) texts
+        # would overcount vs str.split() / the trimmed oracle SQL
+        trimmed = pc.utf8_trim_whitespace(batch[text_col])
+        toks = pc.list_value_length(pc.split_pattern_regex(trimmed, pattern=r"\s+"))
         n = pc.if_else(
-            pc.equal(pc.utf8_length(batch[text_col]), 0), pa.scalar(0, pa.int32()), toks
+            pc.equal(pc.utf8_length(trimmed), 0), pa.scalar(0, pa.int32()), toks
         )
         return pa.table({
             "doc_id": batch[id_col],

@@ -147,21 +147,28 @@ def make_minhash_batch(text_col: str, id_col: str, num_perm: int, n_bands: int,
 
 def _pairs_from_band(group: pd.DataFrame) -> pd.DataFrame:
     """Candidate pairs within one (band_no, band_key) bucket; emits each pair
-    once with a<b.  Bucket sizes are bounded in practice; pathological hot
-    buckets (all-identical boilerplate) are capped to protect the join."""
+    once with a<b.  Hot buckets (all-identical boilerplate) fall back to a
+    STAR pairing against the bucket-minimum id — O(n) pairs instead of
+    O(n^2), and every member stays connected to the cluster root (a
+    truncating cap would silently report members beyond it as unique)."""
     ids = sorted(set(group["id"].tolist()))
     if len(ids) < 2:
         return pd.DataFrame({"id_a": [], "id_b": [], "sig_a": [], "sig_b": []})
     cap = 200  # quadratic-blowup guard for degenerate buckets
-    ids = ids[:cap]
     sig_of = {}
     for i, s in zip(group["id"], group["sig"]):
         sig_of.setdefault(i, s)
     a_l, b_l, sa, sb = [], [], [], []
-    for x in range(len(ids)):
-        for y in range(x + 1, len(ids)):
-            a_l.append(ids[x]); b_l.append(ids[y])
-            sa.append(sig_of[ids[x]]); sb.append(sig_of[ids[y]])
+    if len(ids) <= cap:
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a_l.append(ids[x]); b_l.append(ids[y])
+                sa.append(sig_of[ids[x]]); sb.append(sig_of[ids[y]])
+    else:
+        root = ids[0]
+        for y in ids[1:]:
+            a_l.append(root); b_l.append(y)
+            sa.append(sig_of[root]); sb.append(sig_of[y])
     return pd.DataFrame({"id_a": a_l, "id_b": b_l, "sig_a": sa, "sig_b": sb})
 
 
@@ -268,13 +275,20 @@ def simhash_near_dup_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3)
         })
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(set(zip(g["id"], g["sim"])))[:200]
+        rows = sorted(set(zip(g["id"], g["sim"])))
         a_l, b_l, h_l = [], [], []
-        for x in range(len(rows)):
-            for y in range(x + 1, len(rows)):
-                h = hx.hamming64(rows[x][1], rows[y][1])
-                if h <= max_hamming:
-                    a_l.append(rows[x][0]); b_l.append(rows[y][0]); h_l.append(h)
+        if len(rows) <= 200:
+            candidates = (
+                (rows[x], rows[y])
+                for x in range(len(rows))
+                for y in range(x + 1, len(rows))
+            )
+        else:  # hot bucket: star against the min id keeps O(n) + connectivity
+            candidates = ((rows[0], rows[y]) for y in range(1, len(rows)))
+        for (ia, sa), (ib, sb) in candidates:
+            h = hx.hamming64(sa, sb)
+            if h <= max_hamming:
+                a_l.append(ia); b_l.append(ib); h_l.append(h)
         return pd.DataFrame({"id_a": a_l, "id_b": b_l, "hamming": h_l})
 
     out = (
@@ -301,6 +315,8 @@ def embedding_near_dup_pairs(
     either).
     """
     first = ds.take(1)
+    if not first:  # empty corpus -> no pairs (siblings behave the same)
+        return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
     dim = len(first[0][vec_col])
     rng = np.random.default_rng(seed)
     planes = [rng.standard_normal((dim, n_planes)) for _ in range(2)]
@@ -330,15 +346,21 @@ def embedding_near_dup_pairs(
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         rows = {i: v for i, v in zip(g["id"], g["unit_vec"])}
-        ids = sorted(rows)[:300]
+        ids = sorted(rows)
         a_l, b_l, c_l = [], [], []
         if len(ids) >= 2:
             mat = np.asarray([rows[i] for i in ids])
-            sims = mat @ mat.T
-            for x in range(len(ids)):
-                for y in range(x + 1, len(ids)):
-                    if sims[x, y] >= threshold:
-                        a_l.append(ids[x]); b_l.append(ids[y]); c_l.append(float(sims[x, y]))
+            if len(ids) <= 300:
+                sims = mat @ mat.T
+                for x in range(len(ids)):
+                    for y in range(x + 1, len(ids)):
+                        if sims[x, y] >= threshold:
+                            a_l.append(ids[x]); b_l.append(ids[y]); c_l.append(float(sims[x, y]))
+            else:  # hot bucket: star against the min id (O(n), keeps dups linked)
+                sims = mat[1:] @ mat[0]
+                for y, s in enumerate(sims, start=1):
+                    if s >= threshold:
+                        a_l.append(ids[0]); b_l.append(ids[y]); c_l.append(float(s))
         return pd.DataFrame({"id_a": a_l, "id_b": b_l, "cosine": c_l})
 
     out = (

@@ -57,6 +57,7 @@ def compute_dup_winners_local(
         }
     ).to_pandas()
     meta = meta[(meta["blen"] > 0) & (meta["blen"] <= cap)]
+    meta = meta.dropna(subset=["url", "warc_ts"])
     counts = meta["url"].value_counts()
     dup_urls = set(counts[counts > 1].index)
     if not dup_urls:

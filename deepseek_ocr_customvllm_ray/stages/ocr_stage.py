@@ -29,16 +29,20 @@ anywhere (SURVEY §4 "Ordering").
 
 from __future__ import annotations
 
-import json
 import pickle
 from typing import Dict, List
 
 import pyarrow as pa
 
 from ..config import ExtractConfig
-from ..functions.document import merge_document, mock_decode, process_page
+from ..functions.document import (
+    document_envelope,
+    merge_document,
+    mock_decode,
+    process_page,
+)
 from ..functions.blocks import process_ocr_to_blocks
-from ..functions.html_extract import extract_markdown, extract_text
+from ..functions.html_extract import extract_markdown_and_text
 from ..sources.golden import (
     EXTRACTED_SCHEMA,
     block_to_struct,
@@ -162,12 +166,13 @@ class FallbackOcrEngine(MockOcrEngine):
     """
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..config import EOS_TOKEN
         from ..functions.mdtext import REF_DET_RE
 
         kinds = batch["kind"].to_pylist()
         emissions = batch["emission"].to_pylist()
         raw = [
-            REF_DET_RE.sub("", e) + "<｜end▁of▁sentence｜>" if k == KIND_PDF_PAGE else ""
+            REF_DET_RE.sub("", e) + EOS_TOKEN if k == KIND_PDF_PAGE else ""
             for k, e in zip(kinds, emissions)
         ]
         return batch.append_column("raw_text", pa.array(raw, pa.large_string()))
@@ -198,9 +203,8 @@ def make_postprocess_page_batch(cfg: ExtractConfig):
                 n_img_tok = p["n_image_tokens"]
                 raw_text = raw
             else:
-                markdown = extract_markdown(emission)
+                markdown, extracted_text = extract_markdown_and_text(emission)
                 clean_md = markdown
-                extracted_text = extract_text(emission)
                 payload = pickle.dumps((process_ocr_to_blocks(markdown), []), protocol=4)
                 heading = 0
                 n_img_tok = 0
@@ -231,20 +235,7 @@ def _merge_rows_to_doc(rows: List[dict]) -> dict:
     if rows[0]["kind"] == KIND_HTML_DOC:
         r = rows[0]
         blocks, _ = pickle.loads(r["page_payload"])
-        doc_json = json.dumps(
-            {
-                "document": {
-                    "metadata": {
-                        "source_filename": url,
-                        "total_pages": 1,
-                        "processed_at": ts_iso,
-                    },
-                    "content": [{"page_number": 1, "blocks": blocks}],
-                }
-            },
-            ensure_ascii=False,
-            indent=2,
-        )
+        doc_json = document_envelope(url, ts_iso, [{"page_number": 1, "blocks": blocks}])
         return {
             "url": url,
             "doc_kind": "html",
@@ -272,14 +263,6 @@ def _merge_rows_to_doc(rows: List[dict]) -> dict:
             }
         )
     return doc_to_row(merge_document(url, ts_iso, pages))
-
-
-def merge_page_group(group: pa.Table) -> pa.Table:
-    """One url's rows -> one document row (G1: in-group sort by page_no,
-    ordered concat).  Arrow-native: no pandas conversion in the hot path."""
-    return pa.Table.from_pylist(
-        [_merge_rows_to_doc(group.to_pylist())], schema=EXTRACTED_SCHEMA
-    )
 
 
 def merge_partition(batch: pa.Table) -> pa.Table:

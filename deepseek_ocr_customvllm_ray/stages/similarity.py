@@ -39,7 +39,10 @@ def knn_brute(ds, query_vecs: np.ndarray, vec_col: str, id_col: str, k: int = 10
         kk = min(k, len(ids))
         for qi in range(qm.shape[0]):
             col = sims[:, qi]
-            idx = np.argpartition(-col, kk - 1)[:kk]
+            # deterministic under exact cosine ties (duplicate vectors):
+            # order by (-cosine, id) so local truncation keeps the same
+            # candidates the global (query_no, -cosine, id) sort would
+            idx = np.lexsort((ids, -col))[:kk]
             for j in idx:
                 out_q.append(qi)
                 out_id.append(ids[j])
@@ -201,7 +204,7 @@ def knn_ivf(
             kk = min(k, len(ids))
             for qi in range(qm.shape[0]):
                 col = sims[:, qi]
-                idx = np.argpartition(-col, kk - 1)[:kk]
+                idx = np.lexsort((ids, -col))[:kk]  # tie-break by id
                 for j in idx:
                     out_q.append(qi); out_id.append(ids[j]); out_s.append(float(col[j]))
         return pa.table({

@@ -40,6 +40,11 @@ def make_route_batch(max_payload_mb: int):
     def route_batch(batch: pa.Table) -> pa.Table:
         byte_len = pc.binary_length(batch["html"]).cast(pa.int64())
         keep = pc.and_(pc.greater(byte_len, 0), pc.less_equal(byte_len, cap))
+        # rows with null url / warc_ts are unprocessable (no key, no
+        # deterministic timestamp) — reject like the reference rejects a
+        # malformed upload
+        keep = pc.and_(keep, pc.is_valid(batch["url"]))
+        keep = pc.and_(keep, pc.is_valid(batch["warc_ts"]))
         batch = batch.append_column("byte_len", byte_len).filter(keep)
         if batch.num_rows == 0:
             return batch.append_column(
@@ -58,6 +63,7 @@ def make_route_batch(max_payload_mb: int):
 
 def byte_bucket_column(byte_len: pa.ChunkedArray, edges) -> pa.Array:
     """Bucket index per row for skew-aware partitioning (SURVEY §4 Skew):
-    bucket i = first edge > byte_len, len(edges) if none."""
+    bucket i = count of edges <= byte_len (so a value exactly on an edge
+    belongs to the bucket ABOVE it)."""
     arr = byte_len.to_numpy(zero_copy_only=False)
-    return pa.array(np.searchsorted(np.asarray(edges), arr, side="left"), pa.int32())
+    return pa.array(np.searchsorted(np.asarray(edges), arr, side="right"), pa.int32())
