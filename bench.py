@@ -108,6 +108,20 @@ def run_bench() -> dict:
     headline = time.perf_counter() - t0
     timings["extract_flagship_maponly"] = round(headline, 3)
 
+    if os.environ.get("GRAFT_HEADLINE_ONLY"):
+        out = {
+            "metric": "extract_e2e_sec",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "bench_docs": n_extracted,
+            "docs_per_sec": round(n_extracted / headline, 2),
+        }
+        ray.shutdown()
+        return out
+
     # driver-table variants (sf-scaled, oracle-checked shapes)
     timed("extract_html_text", q.q_extract_html)
     timed("extract_pdf_markdown", q.q_extract_pdf_markdown)
@@ -141,7 +155,7 @@ def run_scaling() -> dict:
     ensure_corpus()  # generate once, untimed, shared by both runs
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
         proc = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench.py")],
             env=env, capture_output=True, text=True, check=True,
