@@ -87,12 +87,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
         ),
         "token_counts": (
-            "SELECT doc_id, CAST(length(string_split_regex(trim(text), '\\s+')) "
-            "AS BIGINT) AS n_tokens FROM documents"
+            "SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) "
+            "AS n_tokens FROM documents"
         ),
         "quality_scores": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
-            "CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens "
+            "CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens "
             "FROM documents"
         ),
         "length_buckets": (

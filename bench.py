@@ -73,11 +73,9 @@ def run_bench() -> dict:
         if os.path.exists(p):
             pq.read_table(p)
 
-    n_docs = pq.ParquetFile(os.path.join(SF_DIR, "documents.parquet")).metadata.num_rows
-
     timings: dict = {}
 
-    def timed(name, fn, consume="count"):
+    def timed(name, fn):
         t0 = time.perf_counter()
         res = fn(SF_DIR)
         if hasattr(res, "count"):
@@ -158,8 +156,12 @@ def run_scaling() -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
         proc = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench.py")],
-            env=env, capture_output=True, text=True, check=True,
+            env=env, capture_output=True, text=True,
         )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"scaling child (num_cpus={ncpu}) failed:\n{proc.stderr[-4000:]}"
+            )
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
     lo, hi = 8, 32

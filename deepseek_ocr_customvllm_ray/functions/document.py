@@ -86,8 +86,11 @@ def process_page(
       clean_md    — cleaned page markdown, or None when SKIP_REPEAT drops it
       blocks      — typed block list (JSON branch, extract_content path)
       figures     — [(name, jpeg_bytes)] crops named {page_no}_{k}.jpg
-      heading_level — last heading level on the page (reference dead state,
-                      kept as a metrics column)
+      heading_level — last heading level on THIS page, 0 when none
+                      (page-local: the reference threads the value across
+                      pages inside its serial loop, but it is dead state —
+                      never consumed — so the parallel engine does not
+                      serialize pages to reproduce the fold)
     """
     content = mdtext.strip_eos(raw_text)
     skipped = cfg.skip_repeat and not content

@@ -104,21 +104,18 @@ def build_extract_pipeline_fused(ds, cfg: ExtractConfig = None, dedup: bool = Tr
     ds = with_hash_partition(ds, "url", cfg.shuffle_partitions)
 
     def process_partition(batch) -> "pa.Table":
-        import hashlib
-
         import pyarrow as pa
+
+        from ..functions.winners import select_url_winners
 
         urls = batch["url"].to_pylist()
         tss = batch["warc_ts"].to_pylist()
         payloads = batch["html"].to_pylist()
         if dedup:
-            best = {}
-            for u, ts, p in zip(urls, tss, payloads):
-                key = (ts, hashlib.sha1(p).hexdigest())
-                if u not in best or key < best[u][0]:
-                    best[u] = (key, ts, p)
-            items = sorted(best.items())
-            rows_in = [(u, ts, p) for u, (_, ts, p) in items]
+            best = select_url_winners(
+                zip(urls, tss, payloads), cfg.max_payload_mb
+            )
+            rows_in = [(u, ts, p) for u, (ts, p) in sorted(best.items())]
         else:
             rows_in = list(zip(urls, tss, payloads))
         docs = []

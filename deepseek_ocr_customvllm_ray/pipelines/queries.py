@@ -545,7 +545,9 @@ def q_quality_filter(sf_dir: str):
 
     def keep(batch: pa.Table) -> pa.Table:
         toks = pc.list_value_length(
-            pc.split_pattern_regex(batch["text"], pattern=r"\s+")
+            pc.split_pattern_regex(
+                pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+            )
         ).cast(pa.int64())
         ok = pc.and_(
             pc.and_(

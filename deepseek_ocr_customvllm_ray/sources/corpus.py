@@ -271,7 +271,9 @@ def generate_pages(
     for j in range(n_dups):
         src = int(rng.integers(0, n_docs))
         urls.append(urls[src])
-        ts.append(_EPOCH + _dt.timedelta(days=30, seconds=j))
+        # relative to the ORIGINAL row's ts so the dup is later at any
+        # n_docs (a fixed epoch offset inverts beyond ~152k docs)
+        ts.append(ts[src] + _dt.timedelta(days=30, seconds=j))
         payload, _ = _make_html(rng, _HOSTS[0])
         payloads.append(payload)
         texts.append(texts[src])

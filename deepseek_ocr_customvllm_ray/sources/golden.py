@@ -118,28 +118,20 @@ def run_golden(pages_table: pa.Table, cfg: ExtractConfig = None) -> pa.Table:
     """Sequential golden: dedup urls (earliest warc_ts wins, ties by payload
     hash) then extract each doc in input order."""
     cfg = cfg or ExtractConfig()
-    import hashlib
+    from ..functions.winners import select_url_winners
 
-    # validation precedes dedup (reference-faithful: a rejected upload never
-    # enters the job store, app/api/routes/ocr.py:33-43 — so an invalid
-    # earliest crawl does NOT shadow a later valid one)
-    cap = cfg.max_payload_mb * 1024 * 1024
-    best: Dict[str, tuple] = {}
-    for i in range(pages_table.num_rows):
-        payload = pages_table["html"][i].as_py()
-        if not payload or len(payload) > cap:
-            continue
-        url = pages_table["url"][i].as_py()
-        ts = pages_table["warc_ts"][i].as_py()
-        if url is None or ts is None:
-            continue
-        key = (ts, hashlib.sha1(payload).hexdigest())
-        if url not in best or key < best[url][0]:
-            best[url] = (key, ts, payload)
+    best = select_url_winners(
+        zip(
+            pages_table["url"].to_pylist(),
+            pages_table["warc_ts"].to_pylist(),
+            pages_table["html"].to_pylist(),
+        ),
+        cfg.max_payload_mb,
+    )
 
     rows: List[Dict[str, Any]] = []
     for url in sorted(best):
-        _, ts, payload = best[url]
+        ts, payload = best[url]
         doc = extract_document(url, ts.isoformat(), payload, cfg)
         if doc is not None:
             rows.append(doc_to_row(doc))

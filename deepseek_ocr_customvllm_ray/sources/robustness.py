@@ -63,7 +63,7 @@ def perturb_pages_table(pages, severity: float, seed: int = 7):
     rng = np.random.default_rng(seed)
     payloads = []
     for p in pages["html"].to_pylist():
-        if is_pdf_payload(p):
+        if p is not None and is_pdf_payload(p):
             new_pages = [
                 {"width": w, "height": h, "emission": perturb_text(e, severity, rng)}
                 for (w, h, e) in parse_pdf_payload(p)

@@ -267,18 +267,28 @@ def _merge_rows_to_doc(rows: List[dict]) -> dict:
 
 def merge_partition(batch: pa.Table) -> pa.Table:
     """Merge one hash partition of page rows: every url's pages are
-    co-located here; sort by (url, page_no) once, split on url boundaries,
-    merge each run.  One vectorized call per PARTITION (not per url)."""
+    co-located here; sort by (url, warc_ts_iso, page_no) once, split on
+    (url, crawl-timestamp) boundaries, merge each run.  One vectorized call
+    per PARTITION (not per url).  The crawl timestamp is part of the group
+    key so that with dedup disabled, pages of DISTINCT crawls of one url
+    never interleave into a corrupt document (after dedup each url has one
+    crawl, so the key is effectively url)."""
     if "_part" in batch.column_names:
         batch = batch.drop_columns(["_part"])
     if batch.num_rows == 0:
         return EXTRACTED_SCHEMA.empty_table()
-    batch = batch.sort_by([("url", "ascending"), ("page_no", "ascending")])
+    batch = batch.sort_by(
+        [("url", "ascending"), ("warc_ts_iso", "ascending"), ("page_no", "ascending")]
+    )
     rows = batch.to_pylist()
     docs: List[dict] = []
     start = 0
+
+    def key(r):
+        return (r["url"], r["warc_ts_iso"])
+
     for i in range(1, len(rows) + 1):
-        if i == len(rows) or rows[i]["url"] != rows[start]["url"]:
+        if i == len(rows) or key(rows[i]) != key(rows[start]):
             docs.append(_merge_rows_to_doc(rows[start:i]))
             start = i
     return pa.Table.from_pylist(docs, schema=EXTRACTED_SCHEMA)

@@ -184,7 +184,10 @@ def test_fallback_engine_strips_tags(ray_session):
     docs = with_hash_partition(pages, "url", 4).groupby("_part").map_groups(
         merge_partition, batch_format="pyarrow"
     ).to_pandas()
-    assert len(docs) == 20
+    # no dedup stage in this hand-built pipeline: every CRAWL (url, ts) is
+    # its own document, including the generator's duplicate-url row
+    n_crawls = len(set(zip(corpus["url"].to_pylist(), corpus["warc_ts"].to_pylist())))
+    assert len(docs) == n_crawls
     assert not docs["markdown"].str.contains(r"<\|ref\|>", regex=True).any()
     assert all(len(f) == 0 for f in docs["figures"])
 
