@@ -36,7 +36,7 @@ BENCH_CORPUS_KW = dict(
 
 
 def ensure_corpus() -> str:
-    path = os.path.join(BENCH_DIR, f"pages_{BENCH_DOCS}_v3")
+    path = os.path.join(BENCH_DIR, f"pages_{BENCH_DOCS}_v4")
     marker = path + ".done"
     if not (os.path.isdir(path) and os.path.exists(marker)):
         os.makedirs(BENCH_DIR, exist_ok=True)
