@@ -219,10 +219,21 @@ def q_simhash_signatures(sf_dir: str):
     return dedup.simhash_signatures(ds, "text", "doc_id")
 
 
+def _point_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    """Fetch one query vector by key: a driver-side parquet point read with
+    a pushed-down row filter — no row-lambda Dataset scan."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(
+        os.path.join(sf_dir, "embeddings.parquet"), format="parquet"
+    ).to_table(columns=["embedding"], filter=pads.field("vec_id") == vec_id)
+    return np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+
+
 def q_embedding_knn(sf_dir: str):
     """Top-10 cosine neighbours of vec_id 0 (brute-force baseline)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q0 = ds.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"]
+    q0 = _point_vector(sf_dir, 0)
     out = similarity.knn_brute(ds, np.asarray([q0]), "embedding", "vec_id", k=10)
     return out[["id"]].rename(columns={"id": "vec_id"})
 
@@ -249,14 +260,14 @@ def q_customers_without_orders(sf_dir: str):
     import ray
 
     custkeys = _read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
-    ref = ray.put(set(custkeys))
+    ref = ray.put(pa.array(sorted(custkeys), pa.int64()))
 
     cust = _read(sf_dir, "customer", ["c_custkey"])
 
     def anti(batch: pa.Table) -> pa.Table:
         keys = ray.get(ref)
-        mask = [k not in keys for k in batch["c_custkey"].to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        mask = pc.invert(pc.is_in(batch["c_custkey"].cast(pa.int64()), value_set=keys))
+        return batch.filter(mask)
 
     n = cust.map_batches(anti, batch_format="pyarrow").count()
     return pd.DataFrame({"n_customers": pd.array([n], dtype="int64")})
@@ -376,7 +387,7 @@ def q_lineitem_open_orders(sf_dir: str):
     import ray
     from ray.data.aggregate import Count
 
-    open_keys = set(
+    open_keys = (
         _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
         .map_batches(
             lambda t: t.filter(pc.equal(t["o_orderstatus"], "O")).select(["o_orderkey"]),
@@ -384,14 +395,14 @@ def q_lineitem_open_orders(sf_dir: str):
         )
         .to_pandas()["o_orderkey"]
     )
-    ref = ray.put(open_keys)
+    ref = ray.put(pa.array(open_keys.unique(), pa.int64()))
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
 
     def semi(batch: pa.Table) -> pa.Table:
         keys = ray.get(ref)
-        mask = [k in keys for k in batch["l_orderkey"].to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        mask = pc.is_in(batch["l_orderkey"].cast(pa.int64()), value_set=keys)
+        return batch.filter(mask)
 
     return (
         li.map_batches(semi, batch_format="pyarrow")
@@ -605,7 +616,7 @@ def q_embedding_near_dups(sf_dir: str):
 def q_knn_ivf(sf_dir: str):
     """IVF approximate top-10 for vec_id 0 (scale path of embedding_knn)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q0 = ds.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"]
+    q0 = _point_vector(sf_dir, 0)
     out = similarity.knn_ivf(
         ds, np.asarray([q0]), "embedding", "vec_id", k=10, n_clusters=8, n_probe=4
     )

@@ -326,7 +326,9 @@ def embedding_near_dup_pairs(
 
     def bucketize(batch: pa.Table) -> pa.Table:
         pls = ray.get(planes_ref)
-        vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        from ..functions.vectors import to_matrix
+
+        vecs = to_matrix(batch[vec_col])
         ids = batch[id_col].to_pylist()
         norms = np.linalg.norm(vecs, axis=1)
         norms[norms == 0] = 1.0

@@ -15,6 +15,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.vectors import to_matrix
+
 
 def _unit(mat: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(mat, axis=1)
@@ -32,7 +34,7 @@ def knn_brute(ds, query_vecs: np.ndarray, vec_col: str, id_col: str, k: int = 10
 
     def local_topk(batch: pa.Table) -> pa.Table:
         qm = ray.get(q_ref)
-        vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        vecs = to_matrix(batch[vec_col])  # zero-copy values-buffer reshape
         ids = np.asarray(batch[id_col].to_pylist())
         sims = _unit(vecs) @ qm.T  # (n, nq)
         out_q, out_id, out_s = [], [], []
@@ -110,7 +112,7 @@ def build_ivf_index(
 
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(c_ref)
-        vecs = _unit(np.asarray(batch[vec_col].to_pylist(), dtype=np.float64))
+        vecs = _unit(to_matrix(batch[vec_col]))
         cluster = (vecs @ c.T).argmax(axis=1).astype(np.int32)
         return pa.table({
             "id": batch[id_col],
@@ -193,7 +195,7 @@ def knn_ivf(
 
     def local_topk(batch: pa.Table) -> pa.Table:
         cents_, qm, probe_list = ray.get(state)
-        vecs = _unit(np.asarray(batch[vec_col].to_pylist(), dtype=np.float64))
+        vecs = _unit(to_matrix(batch[vec_col]))
         ids = np.asarray(batch[id_col].to_pylist())
         assign = (vecs @ cents_.T).argmax(axis=1)
         mask = np.isin(assign, probe_list)
