@@ -210,8 +210,11 @@ def q_fingerprints(sf_dir: str):
 
 
 def q_minhash_clusters(sf_dir: str):
+    """Distributed MinHash-LSH near-dup clusters: labels computed by
+    Dataset-native min-label propagation (no driver-side union-find, no
+    whole-corpus id materialization)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return dedup.minhash_near_dup_clusters(ds, "text", "doc_id", threshold=0.8)
+    return dedup.minhash_near_dup_clusters_ds(ds, "text", "doc_id", threshold=0.8)
 
 
 def q_simhash_signatures(sf_dir: str):
@@ -592,20 +595,21 @@ def q_batch_cli_clean(sf_dir: str):
 
 def q_ngram_jaccard_pairs(sf_dir: str):
     """Exact word-3-gram Jaccard near-dup pairs (verify-side measure) over
-    MinHash-LSH candidates."""
-    import pandas as pd
-
-    from ..functions.hashing import jaccard
-
+    MinHash-LSH candidates — distributed end to end: cluster membership via
+    min-label propagation, Jaccard verify via shingle-set exchange keyed on
+    (endpoint, pair); the driver never materializes a text column."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    texts = dict(zip(*(ds.to_pandas()[c] for c in ("doc_id", "text"))))
-    cand = dedup.minhash_near_dup_clusters(ds, "text", "doc_id", threshold=0.5)
-    rows = []
-    for _, r in cand[cand["id"] != cand["cluster_id"]].iterrows():
-        j = jaccard(texts[r["id"]], texts[r["cluster_id"]])
-        if j >= 0.5:
-            rows.append((int(r["cluster_id"]), int(r["id"]), j))
-    return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+    clusters = dedup.minhash_near_dup_clusters_ds(ds, "text", "doc_id", threshold=0.5)
+
+    def member_pairs(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.not_equal(batch["id"], batch["cluster_id"]))
+        return pa.table({
+            "id_a": t["cluster_id"].cast(pa.int64()),
+            "id_b": t["id"].cast(pa.int64()),
+        })
+
+    pairs = clusters.map_batches(member_pairs, batch_format="pyarrow")
+    return dedup.ngram_jaccard_verify(ds, pairs, "text", "doc_id", k=3, threshold=0.5)
 
 
 def q_embedding_near_dups(sf_dir: str):

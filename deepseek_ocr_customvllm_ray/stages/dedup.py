@@ -25,6 +25,7 @@ from typing import Dict, List
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions import hashing as hx
 
@@ -145,6 +146,18 @@ def make_minhash_batch(text_col: str, id_col: str, num_perm: int, n_bands: int,
     return fn
 
 
+def _empty_pairs_df() -> pd.DataFrame:
+    """Typed empty pair frame so empty LSH buckets keep the int64/object
+    schema (an untyped ``{"id_a": []}`` infers float64 and poisons the
+    Dataset schema when the pairs stay distributed)."""
+    return pd.DataFrame({
+        "id_a": pd.Series([], dtype="int64"),
+        "id_b": pd.Series([], dtype="int64"),
+        "sig_a": pd.Series([], dtype=object),
+        "sig_b": pd.Series([], dtype=object),
+    })
+
+
 def _pairs_from_band(group: pd.DataFrame) -> pd.DataFrame:
     """Candidate pairs within one (band_no, band_key) bucket; emits each pair
     once with a<b.  Hot buckets (all-identical boilerplate) fall back to a
@@ -153,7 +166,7 @@ def _pairs_from_band(group: pd.DataFrame) -> pd.DataFrame:
     truncating cap would silently report members beyond it as unique)."""
     ids = sorted(set(group["id"].tolist()))
     if len(ids) < 2:
-        return pd.DataFrame({"id_a": [], "id_b": [], "sig_a": [], "sig_b": []})
+        return _empty_pairs_df()
     cap = 200  # quadratic-blowup guard for degenerate buckets
     sig_of = {}
     for i, s in zip(group["id"], group["sig"]):
@@ -234,6 +247,333 @@ def minhash_near_dup_clusters(
     return pd.DataFrame(
         {"id": all_ids, "cluster_id": [find(i) for i in all_ids]}
     ).sort_values("id").reset_index(drop=True)
+
+
+def minhash_candidate_pairs(
+    ds,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    n_bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    seed: int = 1234,
+):
+    """LSH candidate pairs verified by signature similarity — fully
+    distributed, returned as a Dataset (id_a, id_b).
+
+    A pair colliding in several bands is emitted once per band; duplicate
+    edges are NOT deduped (that would cost a shuffle) because min-label
+    propagation is idempotent over repeated edges — callers that need
+    unique pairs dedup the (tiny) verified survivor set themselves.
+    """
+    sig_ds = ds.map_batches(
+        make_minhash_batch(text_col, id_col, num_perm, n_bands, shingle_k, seed),
+        batch_format="pyarrow",
+    )
+    pairs = sig_ds.groupby(["band_no", "band_key"]).map_groups(
+        _pairs_from_band, batch_format="pandas"
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+        sa = np.frombuffer(b"".join(batch["sig_a"].to_pylist()), dtype=np.uint64)
+        sb = np.frombuffer(b"".join(batch["sig_b"].to_pylist()), dtype=np.uint64)
+        sim = (sa.reshape(n, -1) == sb.reshape(n, -1)).mean(axis=1)
+        keep = pa.array(sim >= threshold)
+        return pa.table({
+            "id_a": batch["id_a"].cast(pa.int64()).filter(keep),
+            "id_b": batch["id_b"].cast(pa.int64()).filter(keep),
+        })
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+def propagate_min_labels(pairs_ds, num_partitions: int = 16, max_rounds: int = 30):
+    """Connected components by iterative min-label propagation over an edge
+    Dataset (id_a, id_b) -> Dataset (node, label) for every edge endpoint,
+    label = min id of the component.
+
+    Each round: broadcast-free label exchange — labels and symmetric edges
+    are unioned, hash-partitioned on the node key, joined per partition with
+    one vectorized pandas merge (NOT one Python call per node), then reduced
+    with a Ray-native ``groupby(node).min``.  Labels decrease monotonically,
+    so the (tiny) per-round label sum is a convergence certificate: equal
+    sums <=> fixpoint.  Rounds are bounded by component diameter; the
+    star-capped LSH buckets keep that small.  Everything is a Dataset — the
+    driver only sees per-round scalar sums.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from .partition import with_hash_partition_int
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "key": pa.array(np.concatenate([a, b]), pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+        })
+
+    edges = pairs_ds.map_batches(sym, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
+        )
+
+    # round 0: label(node) = min(node, neighbors) straight off the edges
+    def seed_labels(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch["key"],
+            "label": pc.min_element_wise(batch["key"], batch["dst"]),
+        })
+
+    labels = (
+        edges.map_batches(seed_labels, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+    prev_sum = labels.sum("label")
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "key": batch["key"],
+            "dst": batch["dst"],
+            "label": pa.nulls(n, pa.int64()),
+        })
+
+    def tag_labels(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "key": batch["node"],
+            "dst": pa.nulls(n, pa.int64()),
+            "label": batch["label"],
+        })
+
+    def pjoin(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df[df["label"].notna()][["key", "label"]]
+        ed = df[df["dst"].notna()][["key", "dst"]]
+        sent = ed.merge(lab, on="key", how="inner")[["dst", "label"]]
+        out = pd.concat(
+            [lab.rename(columns={"key": "node"}), sent.rename(columns={"dst": "node"})]
+        )
+        return pd.DataFrame({
+            "node": out["node"].astype("int64"),
+            "label": out["label"].astype("int64"),
+        })
+
+    def as_arrow(batch: pa.Table) -> pa.Table:
+        # normalize block type: pandas map_groups output must not mix with
+        # arrow blocks in a downstream union/groupby (Ray's sort sampler
+        # asserts homogeneous block types)
+        return batch
+
+    tagged_edges = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
+    for _ in range(max_rounds):
+        u = tagged_edges.union(labels.map_batches(tag_labels, batch_format="pyarrow"))
+        labels = (
+            with_hash_partition_int(u, "key", num_partitions)
+            .groupby("_part")
+            .map_groups(pjoin, batch_format="pandas")
+            .map_batches(as_arrow, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"min-label propagation did not converge in {max_rounds} rounds "
+        "(pathologically deep component chain — raise max_rounds)"
+    )
+
+
+def minhash_near_dup_clusters_ds(
+    ds,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    n_bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    seed: int = 1234,
+    num_partitions: int = 16,
+):
+    """Scale path of :func:`minhash_near_dup_clusters`: identical labels
+    (cluster_id = min id of the signature-similarity component; singletons
+    get their own id) with ZERO whole-corpus driver materialization — the
+    pair list, the label iteration, and the final (id, cluster_id) output
+    all stay Datasets.  Parity with the local path is pinned by
+    tests/test_dedup.py::test_distributed_clusters_match_local.
+    """
+    from ray.data.aggregate import Min
+
+    pairs = minhash_candidate_pairs(
+        ds, text_col, id_col, num_perm, n_bands, shingle_k, threshold, seed
+    )
+    labels = propagate_min_labels(pairs, num_partitions=num_partitions)
+
+    def base_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].cast(pa.int64())
+        return pa.table({"node": ids, "label": ids})
+
+    out = (
+        ds.map_batches(base_rows, batch_format="pyarrow")
+        .union(labels)
+        .groupby("node")
+        .aggregate(Min("label", alias_name="cluster_id"))
+    )
+    return out.map_batches(
+        lambda t: pa.table({"id": t["node"], "cluster_id": t["cluster_id"]}),
+        batch_format="pyarrow",
+    )
+
+
+def ngram_jaccard_verify(
+    ds,
+    pairs_ds,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    num_partitions: int = 16,
+):
+    """Exact word-k-gram Jaccard verify of candidate pairs — distributed.
+
+    The corpus is semi-joined against the (tiny) candidate-id set with a
+    broadcast ``pc.is_in`` mask, shingle hash-sets are computed inside the
+    read tasks, and pair scoring happens after two small hash-partitioned
+    exchanges (by endpoint id, then by pair) — the driver never sees a text
+    column.  Hash-set Jaccard equals string-set Jaccard up to blake2b-64
+    collisions (~2^-64 per shingle pair).
+    Returns Dataset (id_a, id_b, jaccard) with jaccard >= threshold.
+    """
+    import ray
+    import ray.data as rd
+
+    from ..functions import hashing as hx
+    from .partition import with_hash_partition_int
+
+    empty = pa.table({
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64()),
+    })
+    pairs = pairs_ds.materialize()
+    if pairs.count() == 0:
+        return rd.from_arrow(empty)
+
+    cand_ids: set = set()
+    for b in pairs.iter_batches(batch_format="pyarrow"):  # survivor set: tiny
+        cand_ids.update(b["id_a"].to_pylist())
+        cand_ids.update(b["id_b"].to_pylist())
+    ids_ref = ray.put(pa.array(sorted(cand_ids), pa.int64()))
+
+    sh_type = pa.list_(pa.uint64())
+
+    def shingles_batch(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ids_ref)
+        t = batch.filter(pc.is_in(batch[id_col].cast(pa.int64()), value_set=keys))
+        sh = [hx.shingle_hashes(x or "", k).tolist() for x in t[text_col].to_pylist()]
+        n = len(sh)
+        return pa.table({
+            "key": t[id_col].cast(pa.int64()),
+            "id_a": pa.nulls(n, pa.int64()),
+            "id_b": pa.nulls(n, pa.int64()),
+            "sh": pa.array(sh, sh_type),
+        })
+
+    def side_rows(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = 2 * len(a)
+        return pa.table({
+            "key": pa.array(np.concatenate([a, b]), pa.int64()),
+            "id_a": pa.array(np.concatenate([a, a]), pa.int64()),
+            "id_b": pa.array(np.concatenate([b, b]), pa.int64()),
+            "sh": pa.nulls(n, sh_type),
+        })
+
+    docs = ds.map_batches(shingles_batch, batch_format="pyarrow")
+    sides = pairs.map_batches(side_rows, batch_format="pyarrow")
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        has_sh = df["sh"].notna()
+        sh_of = dict(zip(df.loc[has_sh, "key"], df.loc[has_sh, "sh"]))
+        side = df[~has_sh]
+        return pd.DataFrame({
+            "id_a": side["id_a"].astype("int64"),
+            "id_b": side["id_b"].astype("int64"),
+            "is_a_side": (side["key"] == side["id_a"]).astype("bool"),
+            "sh": side["key"].map(sh_of),
+        })
+
+    step1 = (
+        with_hash_partition_int(docs.union(sides), "key", num_partitions)
+        .groupby("_part")
+        .map_groups(attach, batch_format="pandas")
+    )
+
+    def score_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_j = [], [], []
+        for (ia, ib), g in df.groupby(["id_a", "id_b"]):
+            sh_a = sh_b = None
+            for is_a, sh in zip(g["is_a_side"], g["sh"]):
+                if is_a:
+                    sh_a = sh
+                else:
+                    sh_b = sh
+            sa = np.asarray(sh_a if sh_a is not None else [], dtype=np.uint64)
+            sb = np.asarray(sh_b if sh_b is not None else [], dtype=np.uint64)
+            if sa.size == 0 and sb.size == 0:
+                j = 1.0
+            elif sa.size == 0 or sb.size == 0:
+                j = 0.0
+            else:
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                j = inter / (sa.size + sb.size - inter)
+            if j >= threshold:
+                out_a.append(int(ia)); out_b.append(int(ib)); out_j.append(float(j))
+        return pd.DataFrame({
+            "id_a": pd.Series(out_a, dtype="int64"),
+            "id_b": pd.Series(out_b, dtype="int64"),
+            "jaccard": pd.Series(out_j, dtype="float64"),
+        })
+
+    def pair_key(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mixed = (a * np.uint64(0x9E3779B97F4A7C15) + b) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        return batch.append_column(
+            "pair_key", pa.array(mixed.astype(np.int64), pa.int64())
+        )
+
+    out = (
+        step1.map_batches(pair_key, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.append_column(
+                "_part",
+                pa.array(
+                    (t["pair_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                     % np.uint64(num_partitions)).astype(np.int32),
+                    pa.int32(),
+                ),
+            ).drop_columns(["pair_key"]),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(score_pairs, batch_format="pandas")
+    )
+    return out
 
 
 # --- SimHash --------------------------------------------------------------
