@@ -66,3 +66,11 @@ class ExtractConfig:
     max_payload_mb: int = MAX_PAYLOAD_MB
     # Byte-length skew bucketing before the OCR stage (SURVEY §4 "Skew").
     skew_bucket_edges: tuple = (4_096, 65_536, 1_048_576)
+    # Duplicate-url winner resolution for the map-only pipeline:
+    # "local"       — driver-side pandas over the (url, ts, byte-length)
+    #                 meta view; fastest below ~10^7 rows;
+    # "distributed" — Ray groupby over the same meta view (no driver
+    #                 materialization of per-row meta);
+    # "auto"        — pick by the parquet footer row count.
+    winners_strategy: str = "auto"
+    winners_local_max_rows: int = 2_000_000

@@ -33,6 +33,7 @@ from ..stages.dedup_url import dedup_by_url
 from ..stages.ocr_stage import (
     MockOcrEngine,
     explode_documents,
+    make_explode_documents,
     make_postprocess_page_batch,
     merge_partition,
 )
@@ -50,12 +51,15 @@ def read_pages(path, columns: Optional[list] = None, **kwargs):
     )
 
 
-def build_extract_pipeline(ds, cfg: ExtractConfig = None, dedup: bool = True):
+def build_extract_pipeline(ds, cfg: ExtractConfig = None, dedup: bool = True,
+                           renderer=None):
     """pages Dataset -> extracted-documents Dataset (EXTRACTED_SCHEMA).
 
     Single consumption of the routed/deduped stream: html docs ride the
     unified page-row schema (one logical page) so the pipeline never forks
     (a fork would re-execute the read + dedup shuffle once per branch).
+    ``renderer`` (a stages.ocr_stage.PageRenderer) swaps the pdf page
+    renderer — the PyMuPDF/GPU deployment seam.
     """
     cfg = cfg or ExtractConfig()
 
@@ -63,7 +67,10 @@ def build_extract_pipeline(ds, cfg: ExtractConfig = None, dedup: bool = True):
     if dedup:
         ds = dedup_by_url(ds, num_partitions=cfg.shuffle_partitions)
 
-    pages = ds.map_batches(explode_documents, batch_format="pyarrow")
+    explode = (
+        make_explode_documents(renderer) if renderer is not None else explode_documents
+    )
+    pages = ds.map_batches(explode, batch_format="pyarrow")
     pages = pages.map_batches(
         MockOcrEngine,
         fn_constructor_kwargs={"cfg": cfg},
@@ -153,23 +160,42 @@ def build_extract_pipeline_maponly(
 
     from ..sources.golden import EXTRACTED_SCHEMA as _SCHEMA
     from ..sources.golden import doc_to_row, extract_document
-    from ..stages.dedup_meta import make_winner_filter
-
-    from ..stages.dedup_meta import compute_dup_winners_local
+    from ..stages.dedup_meta import (
+        compute_dup_winners_distributed,
+        compute_dup_winners_local,
+        make_winner_filter,
+    )
 
     cfg = cfg or ExtractConfig()
     clone_rows = None
     winners = {}
     if dedup:
-        # driver-side meta resolution (url/ts/byte-length columns only, with
-        # the same validation predicate as the route stage so an invalid
-        # earliest crawl can't shadow a later valid one); swap for the
-        # distributed compute_dup_winners above ~10^7 input rows
-        winners, clone_rows = compute_dup_winners_local(
-            pages_path,
-            max_payload_mb=cfg.max_payload_mb,
-            columns=["url", "warc_ts", "html", "lang"],
-        )
+        # meta-only winner resolution (url/ts/byte-length, with the same
+        # validation predicate as the route stage so an invalid earliest
+        # crawl can't shadow a later valid one).  Strategy: driver-side
+        # pandas below cfg.winners_local_max_rows (faster than any shuffle
+        # at that size), Ray-groupby above it; "auto" decides from the
+        # parquet footer row count (a metadata-only read).
+        strategy = cfg.winners_strategy
+        if strategy == "auto":
+            import pyarrow.dataset as pads
+
+            n_rows = pads.dataset(pages_path, format="parquet").count_rows()
+            strategy = (
+                "local" if n_rows <= cfg.winners_local_max_rows else "distributed"
+            )
+        if strategy == "local":
+            winners, clone_rows = compute_dup_winners_local(
+                pages_path,
+                max_payload_mb=cfg.max_payload_mb,
+                columns=["url", "warc_ts", "html", "lang"],
+            )
+        else:
+            winners, clone_rows = compute_dup_winners_distributed(
+                pages_path,
+                max_payload_mb=cfg.max_payload_mb,
+                columns=["url", "warc_ts", "html", "lang"],
+            )
 
     read_kw = {}
     if cfg.read_blocks:

@@ -106,14 +106,47 @@ def compute_dup_winners_local(
     return winners, clone_rows
 
 
-def compute_dup_winners(meta_ds, payload_ds=None):
+def compute_dup_winners_distributed(
+    pages_path, max_payload_mb: int = 200, columns=None
+) -> Tuple[dict, Optional[pa.Table]]:
+    """Distributed twin of :func:`compute_dup_winners_local` — same contract,
+    same validation-precedes-dedup invariant, but the per-row meta view
+    never reaches the driver: the (url, warc_ts) stream is validated inside
+    the read tasks and reduced with Ray groupbys; the driver sees only the
+    duplicate-url aggregate (tiny at any dup fraction worth broadcasting).
+    Use above ~10^7 input rows (cfg.winners_local_max_rows).
+    """
+    import ray.data as rd
+
+    cap = max_payload_mb * 1024 * 1024
+    columns = columns or ["url", "warc_ts", "html", "lang"]
+
+    def valid_meta(batch: pa.Table) -> pa.Table:
+        blen = pc.binary_length(batch["html"])
+        ok = pc.and_(pc.greater(blen, 0), pc.less_equal(blen, cap))
+        ok = pc.and_(ok, pc.is_valid(batch["url"]))
+        ok = pc.and_(ok, pc.is_valid(batch["warc_ts"]))
+        return batch.filter(ok).select(["url", "warc_ts"])
+
+    meta_ds = rd.read_parquet(pages_path, columns=["url", "warc_ts", "html"]).map_batches(
+        valid_meta, batch_format="pyarrow"
+    )
+    payload_ds = rd.read_parquet(pages_path, columns=columns)
+    return compute_dup_winners(meta_ds, payload_ds, max_payload_mb=max_payload_mb)
+
+
+def compute_dup_winners(meta_ds, payload_ds=None, max_payload_mb: int = 200):
     """meta_ds: Dataset[(url, warc_ts)] -> (winners, clone_rows).
 
     winners: {url: (min_ts, min_sha_or_None)} for DUPLICATED urls only.
     clone_rows: pa.Table of canonical full rows for urls whose winner is an
     exact clone set (same url, ts, sha appearing >1 time) — these are
     excluded from the map-only filter and unioned back by the caller.
-    ``payload_ds`` (full-column Dataset) is required only when ties exist.
+    ``payload_ds`` (full-column Dataset) is required only when ties exist;
+    tie candidates that fail the validation predicate (empty / over-cap
+    payload) are skipped, mirroring the local path — meta_ds is expected to
+    be pre-validated, so an invalid row with a winning (url, ts) must not
+    resurrect through the payload fetch.
     """
     from ray.data.aggregate import Count, Min
 
@@ -173,13 +206,20 @@ def compute_dup_winners(meta_ds, payload_ds=None):
                 "timestamp ties present in meta_ds but no matching rows in "
                 "payload_ds — the two views disagree"
             )
+        cap = max_payload_mb * 1024 * 1024
         best_rows: Dict[str, Tuple] = {}
         if tied is not None:
             for i in range(tied.num_rows):
                 u = tied["url"][i].as_py()
-                sha = hashlib.sha1(tied["html"][i].as_py()).hexdigest()
+                payload = tied["html"][i].as_py()
+                if not payload or len(payload) > cap:
+                    continue  # validation precedes dedup, tie path included
+                sha = hashlib.sha1(payload).hexdigest()
                 if u not in best_rows or sha < best_rows[u][0]:
                     best_rows[u] = (sha, tied.slice(i, 1))
+        if set(best_rows) != tie_urls:
+            missing = sorted(tie_urls - set(best_rows))[:3]
+            raise ValueError(f"unresolvable timestamp ties for urls {missing}")
         clone_tables = []
         for u, (sha, row) in best_rows.items():
             winners[u] = ("__CLONE__", None)  # drop ALL rows in the map pass

@@ -89,43 +89,75 @@ PROCESSED_PAGE_SCHEMA = pa.schema(
 )
 
 
-def explode_documents(batch: pa.Table) -> pa.Table:
+class PageRenderer:
+    """Deployment seam for pdf-payload -> page rendering (the reference
+    renders with PyMuPDF at 144 DPI, utils.py:70-102).  ``render`` returns
+    a list of ``(width, height, emission)`` page tuples; a real deployment
+    swaps in a renderer that rasterizes pages (emission = image bytes or a
+    handle), and the rest of the pipeline — explode schema, OCR actor
+    signature, merge keys — is unchanged.  Must be picklable (shipped to
+    Ray tasks)."""
+
+    def render(self, payload: bytes) -> List[tuple]:
+        raise NotImplementedError
+
+
+class SyntheticPdfRenderer(PageRenderer):
+    """Default: parse the deterministic synthetic PDF container (this
+    sandbox has no PyMuPDF; the container stands in for rasterization).
+    A corrupt container renders to zero pages — same as the reference's
+    failure path, where an unrenderable upload yields no page images."""
+
+    def render(self, payload: bytes) -> List[tuple]:
+        return parse_pdf_payload(payload)
+
+
+def make_explode_documents(renderer: PageRenderer = None):
     """Doc rows -> unified page rows (S2 analog for pdf; identity-wrap for
-    html).  A corrupt pdf container explodes to zero rows (lineage records
-    the doc as failed; no output row — same as the golden driver)."""
-    cols: Dict[str, list] = {k: [] for k in (
-        "url", "warc_ts_iso", "kind", "page_no", "n_pages", "width", "height", "emission",
-    )}
+    html), with the page renderer injectable (PyMuPDF/GPU deployments are a
+    constructor swap — tests/test_pipeline_e2e.py injects a fake)."""
+    renderer = renderer or SyntheticPdfRenderer()
 
-    def emit(url, iso, kind, page_no, n_pages, w, h, emission):
-        cols["url"].append(url)
-        cols["warc_ts_iso"].append(iso)
-        cols["kind"].append(kind)
-        cols["page_no"].append(page_no)
-        cols["n_pages"].append(n_pages)
-        cols["width"].append(w)
-        cols["height"].append(h)
-        cols["emission"].append(emission)
+    def explode_documents(batch: pa.Table) -> pa.Table:
+        cols: Dict[str, list] = {k: [] for k in (
+            "url", "warc_ts_iso", "kind", "page_no", "n_pages", "width", "height", "emission",
+        )}
 
-    for url, ts, payload, kind in zip(
-        batch["url"].to_pylist(),
-        batch["warc_ts"].to_pylist(),
-        batch["html"].to_pylist(),
-        batch["doc_kind"].to_pylist(),
-    ):
-        iso = ts.isoformat()
-        if kind == "pdf":
-            pages = parse_pdf_payload(payload)
-            for page_no, (w, h, emission) in enumerate(pages):
-                emit(url, iso, KIND_PDF_PAGE, page_no, len(pages), w, h, emission)
-        else:
-            emit(
-                url, iso, KIND_HTML_DOC, 0, 1, 0, 0,
-                payload.decode("utf-8", errors="replace"),
-            )
-    return pa.Table.from_arrays(
-        [pa.array(cols[f.name], f.type) for f in PAGE_SCHEMA], schema=PAGE_SCHEMA
-    )
+        def emit(url, iso, kind, page_no, n_pages, w, h, emission):
+            cols["url"].append(url)
+            cols["warc_ts_iso"].append(iso)
+            cols["kind"].append(kind)
+            cols["page_no"].append(page_no)
+            cols["n_pages"].append(n_pages)
+            cols["width"].append(w)
+            cols["height"].append(h)
+            cols["emission"].append(emission)
+
+        for url, ts, payload, kind in zip(
+            batch["url"].to_pylist(),
+            batch["warc_ts"].to_pylist(),
+            batch["html"].to_pylist(),
+            batch["doc_kind"].to_pylist(),
+        ):
+            iso = ts.isoformat()
+            if kind == "pdf":
+                pages = renderer.render(payload)
+                for page_no, (w, h, emission) in enumerate(pages):
+                    emit(url, iso, KIND_PDF_PAGE, page_no, len(pages), w, h, emission)
+            else:
+                emit(
+                    url, iso, KIND_HTML_DOC, 0, 1, 0, 0,
+                    payload.decode("utf-8", errors="replace"),
+                )
+        return pa.Table.from_arrays(
+            [pa.array(cols[f.name], f.type) for f in PAGE_SCHEMA], schema=PAGE_SCHEMA
+        )
+
+    return explode_documents
+
+
+# default stage instance (synthetic container renderer)
+explode_documents = make_explode_documents()
 
 
 class MockOcrEngine:
@@ -228,19 +260,26 @@ def make_postprocess_page_batch(cfg: ExtractConfig):
     return postprocess_page_batch
 
 
-def _merge_rows_to_doc(rows: List[dict]) -> dict:
-    """Processed-page dicts (one url) -> extracted-doc row dict."""
-    url = rows[0]["url"]
-    ts_iso = rows[0]["warc_ts_iso"]
-    if rows[0]["kind"] == KIND_HTML_DOC:
-        r = rows[0]
-        blocks, _ = pickle.loads(r["page_payload"])
+_MERGE_COLUMNS = (
+    "url", "warc_ts_iso", "kind", "page_no", "raw_text", "clean_md",
+    "extracted_text", "page_payload", "n_image_tokens",
+)
+
+
+def _merge_span_to_doc(col: Dict[str, list], start: int, end: int) -> dict:
+    """One (url, crawl-ts) span of the column-decoded, sorted partition ->
+    extracted-doc row dict.  Reads parallel column lists by index — no
+    per-row dict pivot of the whole partition."""
+    url = col["url"][start]
+    ts_iso = col["warc_ts_iso"][start]
+    if col["kind"][start] == KIND_HTML_DOC:
+        blocks, _ = pickle.loads(col["page_payload"][start])
         doc_json = document_envelope(url, ts_iso, [{"page_number": 1, "blocks": blocks}])
         return {
             "url": url,
             "doc_kind": "html",
-            "markdown": r["clean_md"],
-            "extracted_text": r["extracted_text"],
+            "markdown": col["clean_md"][start],
+            "extracted_text": col["extracted_text"][start],
             "raw_md": "",
             "doc_json": doc_json,
             "blocks": [block_to_struct(b) for b in blocks],
@@ -248,18 +287,16 @@ def _merge_rows_to_doc(rows: List[dict]) -> dict:
             "n_pages": 1,
             "n_image_tokens": 0,
         }
-
-    rows = sorted(rows, key=lambda r: r["page_no"])
     pages: List[Dict] = []
-    for r in rows:
-        blocks, figures = pickle.loads(r["page_payload"])
+    for i in range(start, end):  # span is already page_no-sorted
+        blocks, figures = pickle.loads(col["page_payload"][i])
         pages.append(
             {
-                "raw_text": r["raw_text"],
-                "clean_md": r["clean_md"],
+                "raw_text": col["raw_text"][i],
+                "clean_md": col["clean_md"][i],
                 "blocks": blocks,
                 "figures": figures,
-                "n_image_tokens": r["n_image_tokens"],
+                "n_image_tokens": col["n_image_tokens"][i],
             }
         )
     return doc_to_row(merge_document(url, ts_iso, pages))
@@ -280,15 +317,15 @@ def merge_partition(batch: pa.Table) -> pa.Table:
     batch = batch.sort_by(
         [("url", "ascending"), ("warc_ts_iso", "ascending"), ("page_no", "ascending")]
     )
-    rows = batch.to_pylist()
+    # columnar decode: one to_pylist per NEEDED column (no whole-table
+    # row-dict pivot); doc boundaries found on the two small key columns
+    col = {name: batch[name].to_pylist() for name in _MERGE_COLUMNS}
+    n = batch.num_rows
+    urls, tss = col["url"], col["warc_ts_iso"]
     docs: List[dict] = []
     start = 0
-
-    def key(r):
-        return (r["url"], r["warc_ts_iso"])
-
-    for i in range(1, len(rows) + 1):
-        if i == len(rows) or key(rows[i]) != key(rows[start]):
-            docs.append(_merge_rows_to_doc(rows[start:i]))
+    for i in range(1, n + 1):
+        if i == n or urls[i] != urls[start] or tss[i] != tss[start]:
+            docs.append(_merge_span_to_doc(col, start, i))
             start = i
     return pa.Table.from_pylist(docs, schema=EXTRACTED_SCHEMA)

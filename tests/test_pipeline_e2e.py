@@ -117,6 +117,66 @@ def test_maponly_and_fused_paths_byte_identical(ray_session, corpus, golden, tmp
             assert gdf[col].tolist() == df[col].tolist(), f"{name}:{col}"
 
 
+def test_maponly_distributed_winners_byte_identical(ray_session, corpus, golden, tmp_path):
+    """The Ray-groupby winner path (cfg.winners_strategy='distributed')
+    matches the driver-side local path byte-for-byte, clone and shadow
+    cases included."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from deepseek_ocr_customvllm_ray.pipelines.extract import (
+        build_extract_pipeline_maponly,
+    )
+
+    cfg = ExtractConfig(winners_strategy="distributed")
+
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(corpus, p)
+    gdf = golden.to_pandas().sort_values("url").reset_index(drop=True)
+    mo = (
+        build_extract_pipeline_maponly(p, cfg)
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    assert gdf["url"].tolist() == mo["url"].tolist()
+    for col in ["markdown", "extracted_text", "raw_md", "doc_json", "n_pages"]:
+        assert gdf[col].tolist() == mo[col].tolist(), col
+
+    # exact-clone rows keep exactly one (tie path, distributed)
+    payload = b"<html><body><div id=m><p>clone body text long enough to extract, yes indeed.</p></div></body></html>"
+    t = pa.table({
+        "url": ["https://a/x"] * 3 + ["https://a/y"],
+        "warc_ts": pa.array(
+            [dt.datetime(2026, 1, 1)] * 3 + [dt.datetime(2026, 1, 2)], pa.timestamp("us")
+        ),
+        "html": pa.array([payload] * 4, pa.binary()),
+        "text": [""] * 4,
+        "lang": ["en"] * 4,
+    })
+    pc_path = str(tmp_path / "clones_dist.parquet")
+    pq.write_table(t, pc_path)
+    out = build_extract_pipeline_maponly(pc_path, cfg).to_pandas()
+    assert sorted(out["url"]) == ["https://a/x", "https://a/y"]
+
+    # invalid earliest dup must not shadow the later valid crawl
+    valid = b"<html><body><div id=m><p>the real body text of this page, long enough to extract.</p></div></body></html>"
+    t2 = pa.table({
+        "url": ["https://a/s", "https://a/s", "https://a/t"],
+        "warc_ts": pa.array(
+            [dt.datetime(2026, 1, 1), dt.datetime(2026, 2, 1), dt.datetime(2026, 1, 5)],
+            pa.timestamp("us"),
+        ),
+        "html": pa.array([b"", valid, valid], pa.binary()),
+        "text": [""] * 3,
+        "lang": ["en"] * 3,
+    })
+    ps = str(tmp_path / "shadow_dist.parquet")
+    pq.write_table(t2, ps)
+    out2 = build_extract_pipeline_maponly(ps, cfg).to_pandas()
+    assert sorted(out2["url"]) == ["https://a/s", "https://a/t"]
+    assert "real body text" in out2.set_index("url").loc["https://a/s", "extracted_text"]
+
+
 def test_maponly_clone_rows(ray_session, tmp_path):
     """Exact-clone duplicate rows (same url, ts, payload) keep exactly one."""
     import datetime as dt
@@ -190,6 +250,36 @@ def test_fallback_engine_strips_tags(ray_session):
     assert len(docs) == n_crawls
     assert not docs["markdown"].str.contains(r"<\|ref\|>", regex=True).any()
     assert all(len(f) == 0 for f in docs["figures"])
+
+
+def test_renderer_seam_injects_alternate_renderer(ray_session):
+    """The pdf page renderer is a constructor swap: an injected fake
+    renderer drives the whole pipeline end-to-end (explode -> OCR actor ->
+    postprocess -> merge) and its pages appear in the output."""
+    import ray.data as rd
+
+    class _FixedPageRenderer:
+        # local class: cloudpickle ships it by VALUE (a module-level class
+        # in the tests package would pickle by reference, which Ray workers
+        # cannot import — that deadlocks the actor pool)
+        def render(self, payload):
+            return [
+                (800, 1000, "alpha page one"),
+                (800, 1000, "beta page two"),
+            ]
+
+    corpus = generate_pages(n_docs=10, seed=11, pdf_fraction=1.0)
+    out = (
+        build_extract_pipeline(
+            rd.from_arrow(corpus), ExtractConfig(ocr_concurrency=2),
+            renderer=_FixedPageRenderer(),
+        )
+        .to_pandas()
+    )
+    assert len(out) > 0
+    assert (out["n_pages"] == 2).all()
+    assert out["markdown"].str.contains("alpha page one").all()
+    assert out["markdown"].str.contains("beta page two").all()
 
 
 def test_n_image_tokens_accounted(golden):
