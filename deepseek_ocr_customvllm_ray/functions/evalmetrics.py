@@ -7,9 +7,12 @@ table-structure similarity.
 - TEDS: tree-edit-distance similarity over table structure
   (Scripts/table_diff.py uses the published TEDS lib over PubTabNet HTML;
   here the public Zhang-Shasha ordered-tree edit distance over the
-  table->tr->td tree with exact-text cell labels, normalized per the TEDS
-  paper: ``1 - TED / max(|Ta|, |Tb|)``).  A simplification of full TEDS
-  (no cell-content Levenshtein weighting), stated openly.
+  table->tr->td tree, normalized per the TEDS paper:
+  ``1 - TED / max(|Ta|, |Tb|)``), with the paper's cell cost — renaming a
+  cell costs the normalized Levenshtein distance of the cell texts.  Our
+  table model carries no colspan/rowspan attributes (full TEDS charges 1
+  for a span mismatch); the structural unit-cost variant (S-TEDS) remains
+  available via ``cell_content_cost=False``.
 """
 
 from __future__ import annotations
@@ -83,6 +86,25 @@ def table_tree(rows: List[List[str]]) -> _Node:
     )
 
 
+def _teds_cost(label_a: str, label_b: str) -> float:
+    """Published TEDS rename cost (Zhong et al. 2019, eq. 2 — the cost the
+    reference's TEDS lib applies, Scripts/table_diff.py:56 via
+    ``TEDS.batch_evaluate``): different tags cost 1; two ``<td>`` cells
+    cost the NORMALIZED string edit distance of their contents; equal
+    non-cell tags cost 0.  (Our table model has no colspan/rowspan
+    attributes; in full TEDS a span mismatch also costs 1.)"""
+    a_cell = label_a.startswith("td:")
+    b_cell = label_b.startswith("td:")
+    if a_cell != b_cell:
+        return 1.0
+    if a_cell:
+        ta, tb = label_a[3:], label_b[3:]
+        if ta == tb:
+            return 0.0
+        return levenshtein(ta, tb) / max(len(ta), len(tb))
+    return 0.0 if label_a == label_b else 1.0
+
+
 def html_table_tree(html: str) -> _Node:
     return table_tree(parse_html_table(html))
 
@@ -114,25 +136,27 @@ def _postorder(root: _Node):
     return labels, lmds, keyroots
 
 
-def tree_edit_distance(a: _Node, b: _Node) -> int:
-    """Zhang-Shasha ordered tree edit distance, unit costs."""
+def tree_edit_distance(a: _Node, b: _Node, rename_cost=None) -> float:
+    """Zhang-Shasha ordered tree edit distance: unit insert/delete,
+    pluggable (possibly fractional) rename cost — default unit."""
+    cost_fn = rename_cost or (lambda x, y: 0.0 if x == y else 1.0)
     la, lmda, kra = _postorder(a)
     lb, lmdb, krb = _postorder(b)
     na, nb = len(la), len(lb)
-    td = np.zeros((na, nb), dtype=np.int64)
+    td = np.zeros((na, nb), dtype=np.float64)
 
     for i in kra:
         for j in krb:
             li, lj = lmda[i], lmdb[j]
             m, n = i - li + 2, j - lj + 2
-            fd = np.zeros((m, n), dtype=np.int64)
+            fd = np.zeros((m, n), dtype=np.float64)
             fd[:, 0] = np.arange(m)
             fd[0, :] = np.arange(n)
             for x in range(1, m):
                 for y in range(1, n):
                     ai, bj = li + x - 1, lj + y - 1
                     if lmda[ai] == li and lmdb[bj] == lj:
-                        cost = 0 if la[ai] == lb[bj] else 1
+                        cost = cost_fn(la[ai], lb[bj])
                         fd[x, y] = min(
                             fd[x - 1, y] + 1, fd[x, y - 1] + 1, fd[x - 1, y - 1] + cost
                         )
@@ -144,18 +168,26 @@ def tree_edit_distance(a: _Node, b: _Node) -> int:
                             fd[x, y - 1] + 1,
                             fd[p, q] + td[ai, bj],
                         )
-    return int(td[na - 1, nb - 1])
+    return float(td[na - 1, nb - 1])
 
 
 def _count(n: _Node) -> int:
     return 1 + sum(_count(c) for c in n.children)
 
 
-def teds(rows_a: List[List[str]], rows_b: List[List[str]]) -> float:
-    """TEDS-style similarity in [0,1]: 1 - TED/max(sizes)."""
+def teds(
+    rows_a: List[List[str]], rows_b: List[List[str]], cell_content_cost: bool = True
+) -> float:
+    """TEDS similarity in [0,1]: ``1 - TED / max(|Ta|, |Tb|)``.
+
+    ``cell_content_cost=True`` (default) applies the PUBLISHED TEDS cost:
+    substituting one ``<td>`` for another costs the normalized Levenshtein
+    distance of the cell texts (Zhong et al. 2019, as used by the
+    reference's TEDS lib in Scripts/table_diff.py); ``False`` gives the
+    structural unit-cost variant (S-TEDS)."""
     ta, tb = table_tree(rows_a), table_tree(rows_b)
     na, nb = _count(ta), _count(tb)
     if na == 0 and nb == 0:
         return 1.0
-    d = tree_edit_distance(ta, tb)
+    d = tree_edit_distance(ta, tb, _teds_cost if cell_content_cost else None)
     return 1.0 - d / max(na, nb)

@@ -78,3 +78,36 @@ class TestTeds:
     def test_html_tree(self):
         t = em.html_table_tree("<table><tr><td>a</td></tr></table>")
         assert t.label == "table" and t.children[0].label == "tr"
+
+
+class TestTedsFullCellCost:
+    """Hand-computed scores for the published TEDS cost (cell rename =
+    normalized Levenshtein of cell texts)."""
+
+    def test_single_cell_edit(self):
+        # table(tr(td:cat, td:dog)) = 4 nodes; rename td:dog -> td:dgo costs
+        # lev(dog, dgo)/3 = 2/3; TEDS = 1 - (2/3)/4 = 5/6
+        a = [["cat", "dog"]]
+        b = [["cat", "dgo"]]
+        assert abs(em.teds(a, b) - 5 / 6) < 1e-12
+        # structural variant charges a full unit: 1 - 1/4
+        assert em.teds(a, b, cell_content_cost=False) == 0.75
+
+    def test_half_cell_edit(self):
+        # 3 nodes; lev(ab, ax)/2 = 1/2; TEDS = 1 - 0.5/3
+        assert abs(em.teds([["ab"]], [["ax"]]) - (1 - 0.5 / 3)) < 1e-12
+
+    def test_empty_vs_text_cell_costs_full_unit(self):
+        # lev("", xy)/max(0,2) = 1.0 -> same as structural
+        assert abs(em.teds([[""]], [["xy"]]) - (1 - 1 / 3)) < 1e-12
+
+    def test_row_deletion_same_in_both_variants(self):
+        # delete tr + td:b: TED=2 over max 5 nodes -> 0.6
+        a = [["a"], ["b"]]
+        b = [["a"]]
+        assert abs(em.teds(a, b) - 0.6) < 1e-12
+        assert abs(em.teds(a, b, cell_content_cost=False) - 0.6) < 1e-12
+
+    def test_near_cell_beats_disjoint_cell(self):
+        base = [["hello world"]]
+        assert em.teds(base, [["hello wxrld"]]) > em.teds(base, [["zzz"]])
