@@ -201,8 +201,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey AS k FROM customer "
             "UNION ALL SELECT CAST(s_suppkey AS BIGINT) FROM supplier)"
         ),
-        # minhash_clusters / simhash_signatures / langid_heuristic /
-        # doc_fingerprints: hashing/heuristic ops, not SQL-expressible ->
-        # rows-only checks; their semantics are pytest-verified on the
-        # engine's seeded corpus (tests/test_dedup.py, tests/test_analysis.py)
+        # Golden-snapshot oracles: hashing/heuristic ops (simhash, langid,
+        # fingerprints, MinHash clusters, IVF knn, n-gram Jaccard) are
+        # deterministic, parallelism-invariant pure functions of the input
+        # but not SQL-expressible.  Their oracle is a pinned sf0.01 snapshot
+        # committed under golden/ (regenerate with tools/make_goldens.py
+        # only after an intentional semantic change, pytest parity green);
+        # semantics are additionally pytest-verified on the engine's seeded
+        # corpus (tests/test_dedup.py, tests/test_analysis.py).
+        "minhash_clusters": (
+            "SELECT * FROM read_parquet('/root/repo/golden/minhash_clusters.parquet')"
+        ),
+        "simhash_signatures": (
+            "SELECT * FROM read_parquet('/root/repo/golden/simhash_signatures.parquet')"
+        ),
+        "langid_heuristic": (
+            "SELECT * FROM read_parquet('/root/repo/golden/langid_heuristic.parquet')"
+        ),
+        "doc_fingerprints": (
+            "SELECT * FROM read_parquet('/root/repo/golden/doc_fingerprints.parquet')"
+        ),
+        "knn_ivf": (
+            "SELECT * FROM read_parquet('/root/repo/golden/knn_ivf.parquet')"
+        ),
+        "ngram_jaccard_pairs": (
+            "SELECT * FROM read_parquet('/root/repo/golden/ngram_jaccard_pairs.parquet')"
+        ),
+        # Still rows-only (approximate BY DESIGN, values legitimately vary
+        # with execution): approx_distinct_texts (HLL estimate),
+        # embedding_near_dups (float cosines near the threshold),
+        # image_pipeline (multi-MB binary passthrough columns).
     }

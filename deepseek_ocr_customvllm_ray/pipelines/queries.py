@@ -618,11 +618,21 @@ def q_embedding_near_dups(sf_dir: str):
 
 
 def q_knn_ivf(sf_dir: str):
-    """IVF approximate top-10 for vec_id 0 (scale path of embedding_knn)."""
+    """IVF approximate top-10 for vec_id 0 (scale path of embedding_knn).
+    The k-means training sample is a deterministic head read of the parquet
+    file (file order, not Ray block-arrival order) so the result is
+    run-invariant and golden-snapshot-checkable."""
+    import pyarrow.dataset as pads
+
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     q0 = _point_vector(sf_dir, 0)
+    head = pads.dataset(
+        os.path.join(sf_dir, "embeddings.parquet"), format="parquet"
+    ).head(2000, columns=["embedding"])
+    sample = np.asarray(head["embedding"].to_pylist(), dtype=np.float64)
     out = similarity.knn_ivf(
-        ds, np.asarray([q0]), "embedding", "vec_id", k=10, n_clusters=8, n_probe=4
+        ds, np.asarray([q0]), "embedding", "vec_id", k=10, n_clusters=8, n_probe=4,
+        sample_vecs=sample,
     )
     return out[["id"]].rename(columns={"id": "vec_id"})
 

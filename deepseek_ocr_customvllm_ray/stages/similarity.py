@@ -175,16 +175,22 @@ def knn_ivf(
     n_probe: int = 4,
     sample_size: int = 2000,
     seed: int = 7,
+    sample_vecs: np.ndarray = None,
 ) -> pd.DataFrame:
     """IVF top-k: probe only the ``n_probe`` centroids closest to any query.
 
     Approximate (recall < 1 when true neighbors sit in unprobed clusters) —
     the standard IVF trade; verify recall vs ``knn_brute`` in tests.
+    ``sample_vecs`` pins the k-means training sample explicitly — callers
+    that need run-invariant output (golden-snapshot oracles) pass a
+    deterministic head read; the default ``limit()`` sample depends on Ray
+    block arrival order.
     """
     import ray
 
-    sample_rows = ds.limit(sample_size).to_pandas()[vec_col].tolist()
-    cents = train_centroids(np.asarray(sample_rows), n_clusters, seed=seed)
+    if sample_vecs is None:
+        sample_vecs = np.asarray(ds.limit(sample_size).to_pandas()[vec_col].tolist())
+    cents = train_centroids(sample_vecs, n_clusters, seed=seed)
     q = _unit(np.asarray(query_vecs, dtype=np.float64))
     probe = set()
     qc = q @ cents.T
