@@ -106,6 +106,20 @@ def run_bench() -> dict:
     headline = time.perf_counter() - t0
     timings["extract_flagship_maponly"] = round(headline, 3)
 
+    if not os.environ.get("GRAFT_HEADLINE_ONLY"):
+        # same job through the DISTRIBUTED winner-resolution path (the
+        # >10^7-row strategy) — recorded so regressions in the scale path
+        # are visible even though "auto" picks local at this corpus size
+        import dataclasses
+
+        cfg_dist = dataclasses.replace(cfg, winners_strategy="distributed")
+        t0 = time.perf_counter()
+        n_dist = build_extract_pipeline_maponly(corpus, cfg_dist).count()
+        timings["extract_flagship_maponly_distwinners"] = round(
+            time.perf_counter() - t0, 3
+        )
+        assert n_dist == n_extracted, (n_dist, n_extracted)
+
     if os.environ.get("GRAFT_HEADLINE_ONLY"):
         out = {
             "metric": "extract_e2e_sec",
@@ -165,21 +179,38 @@ def run_scaling() -> dict:
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    # best-of-2 per level: single-node wall times vary with background load;
-    # the minimum reflects the pipeline, not interference
-    r_lo = min((one(lo) for _ in range(2)), key=lambda r: r["value"])
-    r_hi = min((one(hi) for _ in range(2)), key=lambda r: r["value"])
-    tp_lo = r_lo["docs_per_sec"]
-    tp_hi = r_hi["docs_per_sec"]
+    # median-of-N per level (default 5): single-node wall times vary with
+    # background load; round 1 showed best-of-2 leaves a 0.72-0.86 band
+    # straddling the 0.8 bar, driven by 8-CPU-leg noise.  The median is
+    # robust to single bad draws in either direction; the full sample lists
+    # are reported so the band is auditable.
+    n_runs = int(os.environ.get("GRAFT_SCALING_RUNS", "5"))
+    runs_lo = [one(lo) for _ in range(n_runs)]
+    runs_hi = [one(hi) for _ in range(n_runs)]
+    sec_lo = sorted(r["value"] for r in runs_lo)
+    sec_hi = sorted(r["value"] for r in runs_hi)
+    med_lo = sec_lo[len(sec_lo) // 2]
+    med_hi = sec_hi[len(sec_hi) // 2]
+    n_docs = runs_lo[0]["bench_docs"]
+    tp_lo = round(n_docs / med_lo, 2)
+    tp_hi = round(n_docs / med_hi, 2)
     eff = (tp_hi / tp_lo) / (hi / lo)
+    # band endpoints: worst and best pairing of the observed samples
+    eff_floor = round((n_docs / max(sec_hi)) / (n_docs / min(sec_lo)) / (hi / lo), 3)
+    eff_ceil = round((n_docs / min(sec_hi)) / (n_docs / max(sec_lo)) / (hi / lo), 3)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8": r_lo["value"],
-        "sec_32": r_hi["value"],
+        "sec_8": med_lo,
+        "sec_32": med_hi,
         "docs_per_sec_8": tp_lo,
         "docs_per_sec_32": tp_hi,
+        "runs": n_runs,
+        "sec_8_samples": sec_lo,
+        "sec_32_samples": sec_hi,
+        "eff_floor_worst_pairing": eff_floor,
+        "eff_ceil_best_pairing": eff_ceil,
         "sf": SF_DIR,
     }
 

@@ -185,6 +185,12 @@ def build_extract_pipeline_maponly(
                 "local" if n_rows <= cfg.winners_local_max_rows else "distributed"
             )
         if strategy == "local":
+            # serial pyarrow meta scan + driver pandas resolution: measured
+            # FASTER than a Ray-parallel scan at this size (page-cache-bound
+            # read; task dispatch + object-store transfer cost more than the
+            # parallelism buys — the distributed strategy above the row
+            # threshold is for when the scan is storage-bound, not
+            # cache-bound)
             winners, clone_rows = compute_dup_winners_local(
                 pages_path,
                 max_payload_mb=cfg.max_payload_mb,

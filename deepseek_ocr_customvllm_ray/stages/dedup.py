@@ -258,6 +258,7 @@ def minhash_candidate_pairs(
     shingle_k: int = 3,
     threshold: float = 0.8,
     seed: int = 1234,
+    num_partitions: int = 32,
 ):
     """LSH candidate pairs verified by signature similarity — fully
     distributed, returned as a Dataset (id_a, id_b).
@@ -266,13 +267,41 @@ def minhash_candidate_pairs(
     edges are NOT deduped (that would cost a shuffle) because min-label
     propagation is idempotent over repeated edges — callers that need
     unique pairs dedup the (tiny) verified survivor set themselves.
+
+    Bucket enumeration is PARTITION-level: buckets are co-located by a
+    hash of (band_no, band_key) and iterated with a pandas groupby inside
+    one task per partition — Ray's per-GROUP ``map_groups`` costs one
+    Python task dispatch per bucket, measured ~10x slower at 80k buckets.
     """
+    from .partition import with_hash_partition_int
+
     sig_ds = ds.map_batches(
         make_minhash_batch(text_col, id_col, num_perm, n_bands, shingle_k, seed),
         batch_format="pyarrow",
     )
-    pairs = sig_ds.groupby(["band_no", "band_key"]).map_groups(
-        _pairs_from_band, batch_format="pandas"
+
+    def add_bucket_key(batch: pa.Table) -> pa.Table:
+        bno = batch["band_no"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bkey = batch["band_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "_bkey", pa.array((bno << np.int64(32)) | bkey, pa.int64())
+        )
+
+    def pairs_from_partition(df: pd.DataFrame) -> pd.DataFrame:
+        frames = [
+            _pairs_from_band(g)
+            for _, g in df.groupby(["band_no", "band_key"], sort=False)
+        ]
+        return pd.concat(frames, ignore_index=True) if frames else _empty_pairs_df()
+
+    pairs = (
+        with_hash_partition_int(
+            sig_ds.map_batches(add_bucket_key, batch_format="pyarrow"),
+            "_bkey",
+            num_partitions,
+        )
+        .groupby("_part")
+        .map_groups(pairs_from_partition, batch_format="pandas")
     )
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -397,6 +426,30 @@ def propagate_min_labels(pairs_ds, num_partitions: int = 16, max_rounds: int = 3
     )
 
 
+def _unionfind_label_map(tables) -> Dict[int, int]:
+    """Union-find (min-root) over pair tables -> {node: component_min}.
+    Runs inside a Ray task for the small-pair-list fast path — NOT on the
+    driver."""
+    parent: Dict[int, int] = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for t in tables:
+        if t.num_rows == 0 or "id_a" not in t.schema.names:
+            continue  # empty partitions can surface as schema-less blocks
+        for a, b in zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+    return {n: find(n) for n in parent}
+
+
 def minhash_near_dup_clusters_ds(
     ds,
     text_col: str,
@@ -407,19 +460,55 @@ def minhash_near_dup_clusters_ds(
     threshold: float = 0.8,
     seed: int = 1234,
     num_partitions: int = 16,
+    pairs_inline_max: int = 5_000_000,
 ):
     """Scale path of :func:`minhash_near_dup_clusters`: identical labels
     (cluster_id = min id of the signature-similarity component; singletons
-    get their own id) with ZERO whole-corpus driver materialization — the
-    pair list, the label iteration, and the final (id, cluster_id) output
-    all stay Datasets.  Parity with the local path is pinned by
-    tests/test_dedup.py::test_distributed_clusters_match_local.
+    get their own id) with ZERO whole-corpus driver materialization.
+
+    Labeling strategy by verified-pair count (the LSH survivor set, orders
+    of magnitude smaller than the corpus):
+    - ``<= pairs_inline_max``: union-find inside ONE Ray task (pair blocks
+      pulled by the task, never the driver), label map broadcast via
+      ``ray.put`` into a corpus ``map_batches`` — two distributed ops total;
+    - above it: iterative min-label propagation (:func:`propagate_min_labels`)
+      plus a corpus-wide union+groupby-min — all Datasets, no single-node
+      memory bound.
+    Both produce the component-minimum label; parity is pinned by
+    tests/test_dedup.py::TestDistributedClusters.
     """
+    import ray
     from ray.data.aggregate import Min
 
     pairs = minhash_candidate_pairs(
         ds, text_col, id_col, num_perm, n_bands, shingle_k, threshold, seed
-    )
+    ).materialize()
+    n_pairs = pairs.count()
+
+    if n_pairs <= pairs_inline_max:
+        if n_pairs == 0:
+            label_ref = ray.put({})
+        else:
+
+            def _uf_task(refs):
+                # nested ObjectRefs are not auto-resolved; pull here (in the
+                # task), never on the driver
+                return _unionfind_label_map(ray.get(refs))
+
+            label_ref = ray.remote(num_cpus=1)(_uf_task).remote(
+                list(pairs.to_arrow_refs())
+            )
+
+        def assign(batch: pa.Table) -> pa.Table:
+            m = ray.get(label_ref)
+            ids = batch[id_col].cast(pa.int64())
+            cl = [m.get(i, i) for i in ids.to_pylist()]
+            return pa.table({"id": ids, "cluster_id": pa.array(cl, pa.int64())})
+
+        # id-only projection: the label-assign pass must not re-read/decode
+        # the text column
+        return ds.select_columns([id_col]).map_batches(assign, batch_format="pyarrow")
+
     labels = propagate_min_labels(pairs, num_partitions=num_partitions)
 
     def base_rows(batch: pa.Table) -> pa.Table:

@@ -30,14 +30,34 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _validated_meta_batch(cap: int):
+    """(url, warc_ts, html) batch -> validated (url, warc_ts) rows: the
+    route-stage predicate (non-empty, under-cap payload, non-null keys)
+    applied BEFORE winner selection."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        blen = pc.binary_length(batch["html"])
+        ok = pc.and_(pc.greater(blen, 0), pc.less_equal(blen, cap))
+        ok = pc.and_(ok, pc.is_valid(batch["url"]))
+        ok = pc.and_(ok, pc.is_valid(batch["warc_ts"]))
+        return batch.filter(ok).select(["url", "warc_ts"])
+
+    return fn
+
+
 def compute_dup_winners_local(
-    pages_path, max_payload_mb: int = 200, columns=None
+    pages_path, max_payload_mb: int = 200, columns=None, meta=None
 ) -> Tuple[dict, Optional[pa.Table]]:
     """Driver-side fast path: the meta columns (url, warc_ts, byte length)
     of the whole input are a few bytes per row — for inputs up to ~10^7 rows
-    reading them into the driver and resolving winners with pandas is faster
-    than any distributed groupby (no shuffle, no task overhead).  Above
-    that, use :func:`compute_dup_winners` (same contract, distributed).
+    resolving winners with pandas on the driver is faster than any
+    distributed groupby (no shuffle, no task overhead).  Above that, use
+    :func:`compute_dup_winners` (same contract, distributed).
+
+    ``meta``: optional pre-validated (url, warc_ts) DataFrame for callers
+    that already hold the validated meta view.  When omitted (the default
+    path), a serial pyarrow scan computes it — measured faster than a
+    Ray-parallel scan when the input sits in page cache.
 
     Validation precedes dedup: rows the route stage would drop (empty or
     over the size cap) are excluded BEFORE winner selection, so an invalid
@@ -49,15 +69,16 @@ def compute_dup_winners_local(
     columns = columns or ["url", "warc_ts", "html", "lang"]
     cap = max_payload_mb * 1024 * 1024
     dataset = pads.dataset(pages_path, format="parquet")
-    meta = dataset.to_table(
-        columns={
-            "url": pads.field("url"),
-            "warc_ts": pads.field("warc_ts"),
-            "blen": pc.binary_length(pads.field("html")),
-        }
-    ).to_pandas()
-    meta = meta[(meta["blen"] > 0) & (meta["blen"] <= cap)]
-    meta = meta.dropna(subset=["url", "warc_ts"])
+    if meta is None:
+        meta = dataset.to_table(
+            columns={
+                "url": pads.field("url"),
+                "warc_ts": pads.field("warc_ts"),
+                "blen": pc.binary_length(pads.field("html")),
+            }
+        ).to_pandas()
+        meta = meta[(meta["blen"] > 0) & (meta["blen"] <= cap)]
+        meta = meta.dropna(subset=["url", "warc_ts"])
     counts = meta["url"].value_counts()
     dup_urls = set(counts[counts > 1].index)
     if not dup_urls:
@@ -121,15 +142,8 @@ def compute_dup_winners_distributed(
     cap = max_payload_mb * 1024 * 1024
     columns = columns or ["url", "warc_ts", "html", "lang"]
 
-    def valid_meta(batch: pa.Table) -> pa.Table:
-        blen = pc.binary_length(batch["html"])
-        ok = pc.and_(pc.greater(blen, 0), pc.less_equal(blen, cap))
-        ok = pc.and_(ok, pc.is_valid(batch["url"]))
-        ok = pc.and_(ok, pc.is_valid(batch["warc_ts"]))
-        return batch.filter(ok).select(["url", "warc_ts"])
-
     meta_ds = rd.read_parquet(pages_path, columns=["url", "warc_ts", "html"]).map_batches(
-        valid_meta, batch_format="pyarrow"
+        _validated_meta_batch(cap), batch_format="pyarrow"
     )
     payload_ds = rd.read_parquet(pages_path, columns=columns)
     return compute_dup_winners(meta_ds, payload_ds, max_payload_mb=max_payload_mb)
@@ -148,37 +162,49 @@ def compute_dup_winners(meta_ds, payload_ds=None, max_payload_mb: int = 200):
     be pre-validated, so an invalid row with a winning (url, ts) must not
     resurrect through the payload fetch.
     """
-    from ray.data.aggregate import Count, Min
+    import pandas as pd
 
-    agg = meta_ds.groupby("url").aggregate(
-        Count(alias_name="n"), Min("warc_ts", alias_name="min_ts")
+    from .partition import with_hash_partition
+
+    # ONE thin shuffle: hash-partition (url, ts) rows so every url's crawls
+    # co-locate, then a vectorized per-partition pandas aggregate computes
+    # count, min_ts AND the multiplicity at min_ts together — partition-
+    # local is globally correct, and it replaces two Ray string-key
+    # groupbys (measured ~5 s each at 10^5 rows; per-partition pandas is
+    # ~3x cheaper) plus the second meta pass entirely.  Only DUP urls are
+    # emitted, so the driver pull is dup-sized, not input-sized.
+    def agg_partition(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("url")["warc_ts"].agg(n="count", min_ts="min")
+        g = g[g["n"] > 1]
+        if len(g) == 0:
+            return pd.DataFrame({
+                "url": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+                "min_ts": pd.Series([], dtype="datetime64[us]"),
+                "k": pd.Series([], dtype="int64"),
+            })
+        d = df.merge(g["min_ts"], left_on="url", right_index=True)
+        k = d[d["warc_ts"] == d["min_ts"]].groupby("url").size().rename("k")
+        out = g.join(k).reset_index()
+        return pd.DataFrame({
+            "url": out["url"],
+            "n": out["n"].astype("int64"),
+            "min_ts": out["min_ts"],
+            "k": out["k"].astype("int64"),
+        })
+
+    dups = (
+        with_hash_partition(meta_ds, "url", 64)
+        .groupby("_part")
+        .map_groups(agg_partition, batch_format="pandas")
+        .to_pandas()
     )
-    dups = agg.map_batches(
-        lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
-    ).to_pandas()
     if len(dups) == 0:
         return {}, None
     min_ts_of = dict(zip(dups["url"], dups["min_ts"]))
+    tie_urls = set(dups[dups["k"] > 1]["url"])
 
-    # multiplicity at (url, min_ts): a second tiny pass over the meta stream
     import ray
-
-    dup_ref = ray.put(min_ts_of)
-
-    def at_min(batch: pa.Table) -> pa.Table:
-        m = ray.get(dup_ref)
-        urls = batch["url"].to_pylist()
-        tss = batch["warc_ts"].to_pylist()
-        keep = [u in m and ts == m[u] for u, ts in zip(urls, tss)]
-        return batch.filter(pa.array(keep, pa.bool_()))
-
-    at_min_counts = (
-        meta_ds.map_batches(at_min, batch_format="pyarrow")
-        .groupby("url")
-        .aggregate(Count(alias_name="k"))
-        .to_pandas()
-    )
-    tie_urls = set(at_min_counts[at_min_counts["k"] > 1]["url"])
 
     winners: Dict[str, Tuple] = {
         u: (ts, None) for u, ts in min_ts_of.items() if u not in tie_urls

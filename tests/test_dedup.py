@@ -101,9 +101,11 @@ class TestMinhashLsh:
 
 
 class TestDistributedClusters:
-    def test_distributed_clusters_match_local(self, ray_session):
+    @pytest.mark.parametrize("inline_max", [5_000_000, -1])
+    def test_distributed_clusters_match_local(self, ray_session, inline_max):
         """Judge criterion: identical cluster labels between the driver-side
-        union-find path and the Dataset-native min-label-propagation path."""
+        union-find path and BOTH distributed paths (task union-find +
+        broadcast assign; iterative min-label propagation)."""
         import ray.data as rd
 
         for kw in (
@@ -115,7 +117,8 @@ class TestDistributedClusters:
             )
             dist = (
                 dedup.minhash_near_dup_clusters_ds(
-                    rd.from_arrow(_docs_table()), "text", "doc_id", **kw
+                    rd.from_arrow(_docs_table()), "text", "doc_id",
+                    pairs_inline_max=inline_max, **kw
                 )
                 .to_pandas()
                 .sort_values("id")
