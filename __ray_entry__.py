@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": q.q_simhash_signatures,
         # text analysis family
         "token_counts": q.q_token_counts,
+        "bpe_token_counts": q.q_bpe_token_counts,
         "quality_scores": q.q_quality_scores,
         "langid_heuristic": q.q_langid_heuristic,
         "doc_fingerprints": q.q_fingerprints,
@@ -223,6 +224,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "knn_ivf": (
             "SELECT * FROM read_parquet('/root/repo/golden/knn_ivf.parquet')"
+        ),
+        "bpe_token_counts": (
+            "SELECT * FROM read_parquet('/root/repo/golden/bpe_token_counts.parquet')"
         ),
         "ngram_jaccard_pairs": (
             "SELECT * FROM read_parquet('/root/repo/golden/ngram_jaccard_pairs.parquet')"

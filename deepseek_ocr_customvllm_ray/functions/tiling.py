@@ -116,3 +116,33 @@ def crop_margin_dims(width: int, height: int, margin: int = 60) -> Tuple[int, in
     if new_w <= 0 or new_h <= 0:
         return width, height
     return new_w, new_h
+
+
+# --- M6 ImageTransform contract -------------------------------------------
+
+
+def image_transform(
+    pixels,
+    mean: Tuple[float, float, float] = (0.5, 0.5, 0.5),
+    std: Tuple[float, float, float] = (0.5, 0.5, 0.5),
+    normalize: bool = True,
+):
+    """M6 ``ImageTransform`` contract (process/image_process.py:175-194):
+    torchvision ``ToTensor`` + ``Normalize`` re-expressed in numpy —
+    (H, W, 3) uint8 pixels -> (3, H, W) float32 with
+    ``x = (p/255 - mean) / std`` per channel (defaults map [0,255] to
+    [-1, 1]); ``normalize=False`` stops at the [0, 1] ToTensor output.
+    Torch-free so the tensor contract is testable in this container; a GPU
+    deployment feeds the same array layout to the model."""
+    import numpy as np
+
+    arr = np.asarray(pixels)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) pixels, got {arr.shape}")
+    x = arr.astype(np.float32) / 255.0           # ToTensor scaling
+    x = np.transpose(x, (2, 0, 1))               # HWC -> CHW
+    if normalize:
+        m = np.asarray(mean, dtype=np.float32).reshape(3, 1, 1)
+        s = np.asarray(std, dtype=np.float32).reshape(3, 1, 1)
+        x = (x - m) / s
+    return x

@@ -185,16 +185,18 @@ def build_extract_pipeline_maponly(
                 "local" if n_rows <= cfg.winners_local_max_rows else "distributed"
             )
         if strategy == "local":
-            # serial pyarrow meta scan + driver pandas resolution: measured
-            # FASTER than a Ray-parallel scan at this size (page-cache-bound
-            # read; task dispatch + object-store transfer cost more than the
-            # parallelism buys — the distributed strategy above the row
-            # threshold is for when the scan is storage-bound, not
-            # cache-bound)
+            # per-shard Ray scan tasks project the byte-length validation
+            # LOCALLY (payloads never enter the object store; a plain
+            # read_parquet meta pass ships them through plasma and measures
+            # slower than serial) + driver pandas resolution (milliseconds)
+            from ..stages.dedup_meta import read_validated_meta_sharded
+
+            meta = read_validated_meta_sharded(pages_path, cfg.max_payload_mb)
             winners, clone_rows = compute_dup_winners_local(
                 pages_path,
                 max_payload_mb=cfg.max_payload_mb,
                 columns=["url", "warc_ts", "html", "lang"],
+                meta=meta,
             )
         else:
             winners, clone_rows = compute_dup_winners_distributed(

@@ -195,6 +195,15 @@ def q_quality_scores(sf_dir: str):
     return out.select_columns(["doc_id", "n_chars", "n_tokens"])
 
 
+def q_bpe_token_counts(sf_dir: str):
+    """GPT-2-style pre-tokenizer token counts (the BPE-ish counting path of
+    SURVEY's token-counting family; golden-snapshot oracle)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        analysis.make_bpe_token_count_batch("text", "doc_id"), batch_format="pyarrow"
+    )
+
+
 def q_langid_heuristic(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(

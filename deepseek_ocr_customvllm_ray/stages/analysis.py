@@ -76,3 +76,18 @@ def make_fingerprint_batch(text_col: str, id_col: str):
         })
 
     return fn
+
+
+def make_bpe_token_count_batch(text_col: str, id_col: str):
+    """Approximate BPE token counts via the GPT-2 pre-tokenizer regex
+    (compiled once at module import; not SQL-expressible — the pattern uses
+    a lookahead RE2/DuckDB lacks — so its oracle is a golden snapshot)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        counts = [ts.bpe_token_count(t or "") for t in batch[text_col].to_pylist()]
+        return pa.table({
+            "doc_id": batch[id_col],
+            "n_bpe_tokens": pa.array(counts, pa.int64()),
+        })
+
+    return fn

@@ -45,6 +45,50 @@ def _validated_meta_batch(cap: int):
     return fn
 
 
+def read_validated_meta_sharded(pages_path, max_payload_mb: int = 200):
+    """Validated (url, warc_ts) meta view as a driver DataFrame, scanned in
+    parallel with one Ray task PER PARQUET SHARD that projects
+    ``binary_length(html)`` locally — payload bytes never enter the object
+    store (a plain ``read_parquet`` meta pass ships the whole payload
+    column through plasma first, measured slower than the serial scan).
+    Falls back to the serial scan for single-file inputs.  Returns None if
+    no Ray session is active."""
+    import glob
+    import os
+
+    import ray
+
+    if not ray.is_initialized():
+        return None
+    if os.path.isdir(pages_path):
+        files = sorted(glob.glob(os.path.join(pages_path, "*.parquet")))
+    else:
+        files = [pages_path]
+    if len(files) < 2:
+        return None
+
+    cap = max_payload_mb * 1024 * 1024
+
+    @ray.remote(num_cpus=1)
+    def scan(path):
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(path, format="parquet").to_table(
+            columns={
+                "url": pads.field("url"),
+                "warc_ts": pads.field("warc_ts"),
+                "blen": pc.binary_length(pads.field("html")),
+            }
+        )
+        ok = pc.and_(pc.greater(t["blen"], 0), pc.less_equal(t["blen"], cap))
+        ok = pc.and_(ok, pc.is_valid(t["url"]))
+        ok = pc.and_(ok, pc.is_valid(t["warc_ts"]))
+        return t.filter(ok).select(["url", "warc_ts"])
+
+    tables = ray.get([scan.remote(f) for f in files])
+    return pa.concat_tables(tables).to_pandas()
+
+
 def compute_dup_winners_local(
     pages_path, max_payload_mb: int = 200, columns=None, meta=None
 ) -> Tuple[dict, Optional[pa.Table]]:
@@ -139,12 +183,47 @@ def compute_dup_winners_distributed(
     """
     import ray.data as rd
 
+    import glob
+    import os
+
     cap = max_payload_mb * 1024 * 1024
     columns = columns or ["url", "warc_ts", "html", "lang"]
 
-    meta_ds = rd.read_parquet(pages_path, columns=["url", "warc_ts", "html"]).map_batches(
-        _validated_meta_batch(cap), batch_format="pyarrow"
+    shard_files = (
+        sorted(glob.glob(os.path.join(pages_path, "*.parquet")))
+        if isinstance(pages_path, (str, os.PathLike)) and os.path.isdir(pages_path)
+        else []
     )
+    if len(shard_files) >= 2:
+        # per-shard scan tasks project binary_length LOCALLY: only the thin
+        # validated (url, warc_ts) rows enter the object store.  Routing the
+        # payload column through plasma just to take its lengths measured
+        # 3-4 s extra on the 2 GB bench corpus.
+        def scan_files(batch: pa.Table) -> pa.Table:
+            import pyarrow.dataset as pads
+
+            outs = []
+            for path in batch["item"].to_pylist():
+                t = pads.dataset(path, format="parquet").to_table(
+                    columns={
+                        "url": pads.field("url"),
+                        "warc_ts": pads.field("warc_ts"),
+                        "blen": pc.binary_length(pads.field("html")),
+                    }
+                )
+                ok = pc.and_(pc.greater(t["blen"], 0), pc.less_equal(t["blen"], cap))
+                ok = pc.and_(ok, pc.is_valid(t["url"]))
+                ok = pc.and_(ok, pc.is_valid(t["warc_ts"]))
+                outs.append(t.filter(ok).select(["url", "warc_ts"]))
+            return pa.concat_tables(outs)
+
+        meta_ds = rd.from_items(shard_files).map_batches(
+            scan_files, batch_size=1, batch_format="pyarrow"
+        )
+    else:
+        meta_ds = rd.read_parquet(
+            pages_path, columns=["url", "warc_ts", "html"]
+        ).map_batches(_validated_meta_batch(cap), batch_format="pyarrow")
     payload_ds = rd.read_parquet(pages_path, columns=columns)
     return compute_dup_winners(meta_ds, payload_ds, max_payload_mb=max_payload_mb)
 

@@ -73,3 +73,30 @@ class TestStages:
             .sort_values("doc_id")
         )
         assert out["pred_lang"].tolist() == ["en", "zh"]
+
+
+class TestBpeTokenCounts:
+    def test_kernel_counts(self):
+        from deepseek_ocr_customvllm_ray.functions.textstats import bpe_token_count
+
+        assert bpe_token_count("") == 0
+        # GPT-2 pre-tokenizer: contraction split + leading-space words
+        assert bpe_token_count("I'll go") == 3   # ["I", "'ll", " go"]
+        assert bpe_token_count("hello, world") == 3  # ["hello", ",", " world"]
+
+    def test_stage(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from deepseek_ocr_customvllm_ray.stages.analysis import (
+            make_bpe_token_count_batch,
+        )
+
+        t = pa.table({"doc_id": [1, 2], "text": ["I'll go", ""]})
+        out = (
+            rd.from_arrow(t)
+            .map_batches(make_bpe_token_count_batch("text", "doc_id"), batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out["n_bpe_tokens"].tolist() == [3, 0]

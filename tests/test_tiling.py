@@ -54,3 +54,47 @@ class TestPrepDims:
 
     def test_degenerate_crop_skipped(self):
         assert tiling.crop_margin_dims(100, 90) == (100, 90)
+
+
+class TestImageTransform:
+    """M6 contract: ToTensor + Normalize re-expressed in numpy."""
+
+    def test_layout_and_dtype(self):
+        import numpy as np
+
+        px = np.random.default_rng(0).integers(0, 256, (5, 7, 3), dtype=np.uint8)
+        x = tiling.image_transform(px)
+        assert x.shape == (3, 5, 7) and x.dtype == np.float32
+
+    def test_default_maps_to_minus1_1(self):
+        import numpy as np
+
+        px = np.zeros((2, 2, 3), dtype=np.uint8)
+        assert np.allclose(tiling.image_transform(px), -1.0)
+        px[:] = 255
+        assert np.allclose(tiling.image_transform(px), 1.0)
+        px[:] = 128
+        expect = (128 / 255 - 0.5) / 0.5
+        assert np.allclose(tiling.image_transform(px), expect, atol=1e-6)
+
+    def test_no_normalize_is_unit_range(self):
+        import numpy as np
+
+        px = np.full((2, 2, 3), 51, dtype=np.uint8)
+        x = tiling.image_transform(px, normalize=False)
+        assert np.allclose(x, 0.2)
+
+    def test_per_channel_stats(self):
+        import numpy as np
+
+        px = np.zeros((1, 1, 3), dtype=np.uint8)
+        px[0, 0] = [255, 0, 255]
+        x = tiling.image_transform(px, mean=(1.0, 0.0, 0.5), std=(1.0, 1.0, 0.5))
+        assert np.allclose(x[:, 0, 0], [0.0, 0.0, 1.0])
+
+    def test_bad_shape_rejected(self):
+        import numpy as np
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            tiling.image_transform(np.zeros((4, 4), dtype=np.uint8))

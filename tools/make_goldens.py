@@ -36,6 +36,7 @@ GOLDEN_QUERIES = [
     "doc_fingerprints",
     "knn_ivf",
     "ngram_jaccard_pairs",
+    "bpe_token_counts",
 ]
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "golden")
