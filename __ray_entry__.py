@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_langs_per_source": q.q_distinct_langs_per_source,
         "lineitem_open_orders": q.q_lineitem_open_orders,
         "events_last_order": q.q_events_last_order,
+        "events_recent_orders": q.q_events_recent_orders,
         "top20_longest_docs": q.q_top20_longest_docs,
         "union_distinct_keys": q.q_union_distinct_keys,
         "approx_distinct_texts": q.q_approx_distinct_texts,
@@ -187,6 +188,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.event_id, o.o_orderdate AS last_order_date "
             "FROM events e ASOF LEFT JOIN orders o "
             "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+        ),
+        "events_recent_orders": (
+            "SELECT e.event_id, count(o.o_custkey) AS n_recent_orders "
+            "FROM events e LEFT JOIN orders o "
+            "ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts "
+            "AND o.o_orderdate > e.ts - INTERVAL 90 DAY "
+            "GROUP BY e.event_id"
         ),
         "lineitem_open_orders": (
             "SELECT l_returnflag, count(*) AS n_lineitems FROM lineitem "

@@ -366,6 +366,33 @@ def q_events_last_order(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def q_events_recent_orders(sf_dir: str):
+    """Range join (windowed): per event, the count of the user's orders in
+    the 90 days up to the event (one key-co-partitioned shuffle; counting
+    resolved inside the partition — DuckDB LEFT JOIN + interval oracle)."""
+    import pandas as pd
+
+    from ..stages.joins import range_join_count
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    out = range_join_count(
+        events, orders,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        window=pd.Timedelta(days=90),
+        left_cols=["event_id"],
+        out_col="n_recent_orders",
+    )
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_id": t["event_id"].cast(pa.int64()),
+            "n_recent_orders": t["n_recent_orders"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def q_approx_distinct_texts(sf_dir: str):
     """HyperLogLog approximate distinct (mergeable-sketch pattern): one
     constant-size sketch per batch, merged driver-side.  Rows-only (the

@@ -132,6 +132,98 @@ def asof_join(
     return out.map_batches(strip_prefix, batch_format="pyarrow")
 
 
+def range_join_count(
+    left_ds,
+    right_ds,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    window,
+    left_cols: List[str],
+    out_col: str = "n_matches",
+    num_partitions: int = 32,
+):
+    """Windowed range join, aggregated form: for each left row, the COUNT of
+    right rows with the same key and ``left_ts - window < right_ts <=
+    left_ts`` (SQL ``LEFT JOIN ... ON key AND r_ts <= l_ts AND r_ts > l_ts
+    - window`` + ``count(...) GROUP BY left row``); unmatched left rows get
+    0, NULL-key/-ts left rows too (NULL never matches).
+
+    Same one-shuffle co-partition pattern as :func:`asof_join`: tag, union,
+    hash-partition by key, resolve per partition with a vectorized pandas
+    key-merge + interval filter.  Counting INSIDE the partition (all of a
+    left row's matches co-locate with it) avoids materializing the pair
+    blow-up or paying a second shuffle to aggregate it.  Hot-key caveat: a
+    key's |left| x |right| candidate product materializes briefly within
+    its partition; for pathological keys swap the merge for a sort-based
+    sweep — the partitioning and semantics stay identical.
+    """
+    left_types = {c: _coltype(left_ds, c) for c in left_cols}
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cols = {
+            "_key": batch[left_key].cast(pa.int64()),
+            "_ts": batch[left_ts],
+            "_side": pa.array(["L"] * batch.num_rows, pa.string()),
+        }
+        for c in left_cols:
+            cols[f"l_{c}"] = batch[c]
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(pc.is_valid(batch[right_key]), pc.is_valid(batch[right_ts]))
+        )
+        cols = {
+            "_key": batch[right_key].cast(pa.int64()),
+            "_ts": batch[right_ts],
+            "_side": pa.array(["R"] * batch.num_rows, pa.string()),
+        }
+        for c, t in left_types.items():
+            cols[f"l_{c}"] = pa.nulls(batch.num_rows, t)
+        return pa.table(cols)
+
+    unioned = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow")
+    )
+    parted = with_hash_partition_int(unioned, "_key", num_partitions)
+
+    l_out = [f"l_{c}" for c in left_cols]
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["_side"] == "L"].reset_index(drop=True)
+        right = df[df["_side"] == "R"]
+        if left.empty:
+            out = left[l_out].copy()
+            out[out_col] = pd.Series([], dtype="int64")
+            return out
+        counts = pd.Series(0, index=left.index, dtype="int64")
+        matchable = left["_key"].notna() & left["_ts"].notna()
+        if not right.empty and matchable.any():
+            lm = left.loc[matchable, ["_key", "_ts"]].reset_index()  # 'index' = left row
+            m = lm.merge(
+                right[["_key", "_ts"]].rename(columns={"_ts": "_ts_r"}), on="_key"
+            )
+            hit = m[(m["_ts_r"] <= m["_ts"]) & (m["_ts_r"] > m["_ts"] - window)]
+            per_row = hit.groupby("index").size()
+            counts.loc[per_row.index] = per_row.astype("int64")
+        out = left[l_out].copy()
+        out[out_col] = counts
+        return out
+
+    out = parted.groupby("_part").map_groups(resolve, batch_format="pandas")
+
+    def strip_prefix(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for c, t in left_types.items():
+            cols[c] = batch[f"l_{c}"].cast(t)
+        cols[out_col] = batch[out_col].cast(pa.int64())
+        return pa.table(cols)
+
+    return out.map_batches(strip_prefix, batch_format="pyarrow")
+
+
 def _coltype(ds, col: str) -> pa.DataType:
     schema = ds.schema()
     return schema.base_schema.field(col).type if hasattr(schema, "base_schema") else schema.field(col).type

@@ -95,3 +95,70 @@ class TestAsofJoin:
                 "key", "key", "ts", "rts", ["event_id"], ["val"], num_partitions=2,
             ).to_pandas()
             assert out["val"].iloc[0] == "b"  # max by value columns
+
+
+class TestRangeJoinCount:
+    def test_window_counting(self, ray_session):
+        import datetime as dt
+
+        import pyarrow as pa
+        import pandas as pd
+        import ray.data as rd
+
+        from deepseek_ocr_customvllm_ray.stages.joins import range_join_count
+
+        T = dt.datetime
+        left = pa.table({
+            "eid": pa.array([1, 2, 3, 4], pa.int64()),
+            "k": pa.array([10, 10, 20, 30], pa.int64()),
+            "ts": pa.array(
+                [T(2026, 3, 1), T(2026, 1, 5), T(2026, 3, 1), T(2026, 3, 1)],
+                pa.timestamp("us"),
+            ),
+        })
+        right = pa.table({
+            "k": pa.array([10, 10, 10, 20], pa.int64()),
+            "rts": pa.array(
+                # for k=10: one inside 30d of Mar 1, one exactly AT Mar 1
+                # (inclusive), one far older; k=20's order is AFTER the event
+                [T(2026, 2, 15), T(2026, 3, 1), T(2025, 1, 1), T(2026, 4, 1)],
+                pa.timestamp("us"),
+            ),
+        })
+        out = (
+            range_join_count(
+                rd.from_arrow(left), rd.from_arrow(right),
+                left_key="k", right_key="k", left_ts="ts", right_ts="rts",
+                window=pd.Timedelta(days=30), left_cols=["eid"], out_col="n",
+            )
+            .to_pandas().set_index("eid")["n"].to_dict()
+        )
+        assert out == {1: 2, 2: 0, 3: 0, 4: 0}
+
+    def test_null_key_left_row_unmatched(self, ray_session):
+        import datetime as dt
+
+        import pyarrow as pa
+        import pandas as pd
+        import ray.data as rd
+
+        from deepseek_ocr_customvllm_ray.stages.joins import range_join_count
+
+        left = pa.table({
+            "eid": pa.array([1, 2], pa.int64()),
+            "k": pa.array([5, None], pa.int64()),
+            "ts": pa.array([dt.datetime(2026, 1, 10)] * 2, pa.timestamp("us")),
+        })
+        right = pa.table({
+            "k": pa.array([5], pa.int64()),
+            "rts": pa.array([dt.datetime(2026, 1, 9)], pa.timestamp("us")),
+        })
+        out = (
+            range_join_count(
+                rd.from_arrow(left), rd.from_arrow(right),
+                left_key="k", right_key="k", left_ts="ts", right_ts="rts",
+                window=pd.Timedelta(days=30), left_cols=["eid"], out_col="n",
+            )
+            .to_pandas().set_index("eid")["n"].to_dict()
+        )
+        assert out == {1: 1, 2: 0}
