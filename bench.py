@@ -211,13 +211,15 @@ def run_scaling() -> dict:
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8": med_lo,
-        "sec_32": med_hi,
-        "docs_per_sec_8": tp_lo,
-        "docs_per_sec_32": tp_hi,
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        f"sec_{lo}": med_lo,
+        f"sec_{hi}": med_hi,
+        f"docs_per_sec_{lo}": tp_lo,
+        f"docs_per_sec_{hi}": tp_hi,
         "runs": n_runs,
-        "sec_8_samples": sec_lo,
-        "sec_32_samples": sec_hi,
+        f"sec_{lo}_samples": sec_lo,
+        f"sec_{hi}_samples": sec_hi,
         "eff_floor_worst_pairing": eff_floor,
         "eff_ceil_best_pairing": eff_ceil,
         "sf": SF_DIR,

@@ -71,6 +71,9 @@ class ExtractConfig:
     #                 meta view; fastest below ~10^7 rows;
     # "distributed" — Ray groupby over the same meta view (no driver
     #                 materialization of per-row meta);
-    # "auto"        — pick by the parquet footer row count.
+    # "auto"        — pick by the parquet footer row count; crossover at
+    #                 ~10^7 rows (driver pandas resolution is milliseconds
+    #                 at that size; the sharded meta scan parallelizes the
+    #                 payload-length read either way).
     winners_strategy: str = "auto"
-    winners_local_max_rows: int = 2_000_000
+    winners_local_max_rows: int = 10_000_000

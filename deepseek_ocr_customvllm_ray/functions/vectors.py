@@ -14,17 +14,24 @@ import numpy as np
 import pyarrow as pa
 
 
-def to_matrix(col, dtype=np.float64) -> np.ndarray:
+def to_matrix(col, dtype=np.float64, dim: int = None) -> np.ndarray:
     """(Chunked) list<numeric> / fixed_size_list<numeric> column -> (n, d)
     ndarray.  Requires equal-length, null-free rows (embedding columns are);
-    raises ValueError on ragged input rather than silently padding."""
+    raises ValueError on ragged input rather than silently padding.
+
+    ``dim``: width to use for an EMPTY column (a variable-length list
+    carries no dimension when n == 0; fixed_size_list does).  Callers that
+    matmul the result should pass the known dimension so zero-row Arrow
+    blocks produce a (0, d) no-op operand instead of a shape error."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if col.null_count:
         raise ValueError("embedding column contains nulls")
     n = len(col)
     if n == 0:
-        return np.zeros((0, 0), dtype=dtype)
+        if pa.types.is_fixed_size_list(col.type):
+            dim = col.type.list_size
+        return np.zeros((0, dim or 0), dtype=dtype)
     if pa.types.is_fixed_size_list(col.type):
         dim = col.type.list_size
         flat = col.flatten()  # respects any slice offset

@@ -516,7 +516,8 @@ def minhash_near_dup_clusters_ds(
         return pa.table({"node": ids, "label": ids})
 
     out = (
-        ds.map_batches(base_rows, batch_format="pyarrow")
+        ds.select_columns([id_col])  # id-only projection, as in the fast path
+        .map_batches(base_rows, batch_format="pyarrow")
         .union(labels)
         .groupby("node")
         .aggregate(Min("label", alias_name="cluster_id"))
@@ -549,7 +550,6 @@ def ngram_jaccard_verify(
     import ray
     import ray.data as rd
 
-    from ..functions import hashing as hx
     from .partition import with_hash_partition_int
 
     empty = pa.table({
@@ -599,11 +599,17 @@ def ngram_jaccard_verify(
         has_sh = df["sh"].notna()
         sh_of = dict(zip(df.loc[has_sh, "key"], df.loc[has_sh, "sh"]))
         side = df[~has_sh]
+        mapped = side["key"].map(sh_of)
+        # an endpoint id absent from the corpus maps to NaN — drop that side
+        # row here so score_pairs sees a one-sided (skippable) pair instead
+        # of crashing on uint64(NaN)
+        present = mapped.notna()
+        side = side[present]
         return pd.DataFrame({
             "id_a": side["id_a"].astype("int64"),
             "id_b": side["id_b"].astype("int64"),
             "is_a_side": (side["key"] == side["id_a"]).astype("bool"),
-            "sh": side["key"].map(sh_of),
+            "sh": mapped[present],
         })
 
     step1 = (
@@ -616,13 +622,16 @@ def ngram_jaccard_verify(
         out_a, out_b, out_j = [], [], []
         for (ia, ib), g in df.groupby(["id_a", "id_b"]):
             sh_a = sh_b = None
+            has_a = has_b = False
             for is_a, sh in zip(g["is_a_side"], g["sh"]):
                 if is_a:
-                    sh_a = sh
+                    sh_a, has_a = sh, True
                 else:
-                    sh_b = sh
-            sa = np.asarray(sh_a if sh_a is not None else [], dtype=np.uint64)
-            sb = np.asarray(sh_b if sh_b is not None else [], dtype=np.uint64)
+                    sh_b, has_b = sh, True
+            if not (has_a and has_b):
+                continue  # an endpoint was absent from the corpus: drop pair
+            sa = np.asarray(sh_a, dtype=np.uint64)
+            sb = np.asarray(sh_b, dtype=np.uint64)
             if sa.size == 0 and sb.size == 0:
                 j = 1.0
             elif sa.size == 0 or sb.size == 0:
@@ -757,7 +766,7 @@ def embedding_near_dup_pairs(
         pls = ray.get(planes_ref)
         from ..functions.vectors import to_matrix
 
-        vecs = to_matrix(batch[vec_col])
+        vecs = to_matrix(batch[vec_col], dim=pls[0].shape[0])
         ids = batch[id_col].to_pylist()
         norms = np.linalg.norm(vecs, axis=1)
         norms[norms == 0] = 1.0

@@ -30,19 +30,57 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _validated_meta_batch(cap: int):
-    """(url, warc_ts, html) batch -> validated (url, warc_ts) rows: the
+def _apply_meta_predicate(t: pa.Table, cap: int) -> pa.Table:
+    """(url, warc_ts, blen) table -> validated (url, warc_ts) rows: the
     route-stage predicate (non-empty, under-cap payload, non-null keys)
-    applied BEFORE winner selection."""
+    applied BEFORE winner selection.  THE single definition of the
+    validity rule all winner-resolution paths share — dedup correctness
+    depends on every path agreeing with the route stage."""
+    ok = pc.and_(pc.greater(t["blen"], 0), pc.less_equal(t["blen"], cap))
+    ok = pc.and_(ok, pc.is_valid(t["url"]))
+    ok = pc.and_(ok, pc.is_valid(t["warc_ts"]))
+    return t.filter(ok).select(["url", "warc_ts"])
+
+
+def _validated_meta_batch(cap: int):
+    """map_batches wrapper over :func:`_apply_meta_predicate` for batches
+    that carry the raw ``html`` column."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        blen = pc.binary_length(batch["html"])
-        ok = pc.and_(pc.greater(blen, 0), pc.less_equal(blen, cap))
-        ok = pc.and_(ok, pc.is_valid(batch["url"]))
-        ok = pc.and_(ok, pc.is_valid(batch["warc_ts"]))
-        return batch.filter(ok).select(["url", "warc_ts"])
+        return _apply_meta_predicate(
+            batch.select(["url", "warc_ts"]).append_column(
+                "blen", pc.binary_length(batch["html"])
+            ),
+            cap,
+        )
 
     return fn
+
+
+def _scan_shard_meta(path, cap: int) -> pa.Table:
+    """One-shard local scan: project ``binary_length(html)`` inside the
+    reading process (payload bytes never serialized out) and apply the
+    shared validity predicate."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(path, format="parquet").to_table(
+        columns={
+            "url": pads.field("url"),
+            "warc_ts": pads.field("warc_ts"),
+            "blen": pc.binary_length(pads.field("html")),
+        }
+    )
+    return _apply_meta_predicate(t, cap)
+
+
+def _input_files(pages_path):
+    """The EXACT file list the payload read will consume
+    (``pyarrow.dataset`` discovery — recursive, same as ``read_parquet``).
+    A hand-rolled top-level glob would silently miss nested shard files and
+    leak their duplicate urls through dedup."""
+    import pyarrow.dataset as pads
+
+    return sorted(pads.dataset(pages_path, format="parquet").files)
 
 
 def read_validated_meta_sharded(pages_path, max_payload_mb: int = 200):
@@ -53,39 +91,17 @@ def read_validated_meta_sharded(pages_path, max_payload_mb: int = 200):
     column through plasma first, measured slower than the serial scan).
     Falls back to the serial scan for single-file inputs.  Returns None if
     no Ray session is active."""
-    import glob
-    import os
-
     import ray
 
     if not ray.is_initialized():
         return None
-    if os.path.isdir(pages_path):
-        files = sorted(glob.glob(os.path.join(pages_path, "*.parquet")))
-    else:
-        files = [pages_path]
+    files = _input_files(pages_path)
     if len(files) < 2:
         return None
 
     cap = max_payload_mb * 1024 * 1024
-
-    @ray.remote(num_cpus=1)
-    def scan(path):
-        import pyarrow.dataset as pads
-
-        t = pads.dataset(path, format="parquet").to_table(
-            columns={
-                "url": pads.field("url"),
-                "warc_ts": pads.field("warc_ts"),
-                "blen": pc.binary_length(pads.field("html")),
-            }
-        )
-        ok = pc.and_(pc.greater(t["blen"], 0), pc.less_equal(t["blen"], cap))
-        ok = pc.and_(ok, pc.is_valid(t["url"]))
-        ok = pc.and_(ok, pc.is_valid(t["warc_ts"]))
-        return t.filter(ok).select(["url", "warc_ts"])
-
-    tables = ray.get([scan.remote(f) for f in files])
+    scan = ray.remote(num_cpus=1)(_scan_shard_meta)
+    tables = ray.get([scan.remote(f, cap) for f in files])
     return pa.concat_tables(tables).to_pandas()
 
 
@@ -183,39 +199,19 @@ def compute_dup_winners_distributed(
     """
     import ray.data as rd
 
-    import glob
-    import os
-
     cap = max_payload_mb * 1024 * 1024
     columns = columns or ["url", "warc_ts", "html", "lang"]
 
-    shard_files = (
-        sorted(glob.glob(os.path.join(pages_path, "*.parquet")))
-        if isinstance(pages_path, (str, os.PathLike)) and os.path.isdir(pages_path)
-        else []
-    )
+    shard_files = _input_files(pages_path)
     if len(shard_files) >= 2:
         # per-shard scan tasks project binary_length LOCALLY: only the thin
         # validated (url, warc_ts) rows enter the object store.  Routing the
         # payload column through plasma just to take its lengths measured
         # 3-4 s extra on the 2 GB bench corpus.
         def scan_files(batch: pa.Table) -> pa.Table:
-            import pyarrow.dataset as pads
-
-            outs = []
-            for path in batch["item"].to_pylist():
-                t = pads.dataset(path, format="parquet").to_table(
-                    columns={
-                        "url": pads.field("url"),
-                        "warc_ts": pads.field("warc_ts"),
-                        "blen": pc.binary_length(pads.field("html")),
-                    }
-                )
-                ok = pc.and_(pc.greater(t["blen"], 0), pc.less_equal(t["blen"], cap))
-                ok = pc.and_(ok, pc.is_valid(t["url"]))
-                ok = pc.and_(ok, pc.is_valid(t["warc_ts"]))
-                outs.append(t.filter(ok).select(["url", "warc_ts"]))
-            return pa.concat_tables(outs)
+            return pa.concat_tables(
+                [_scan_shard_meta(path, cap) for path in batch["item"].to_pylist()]
+            )
 
         meta_ds = rd.from_items(shard_files).map_batches(
             scan_files, batch_size=1, batch_format="pyarrow"

@@ -34,7 +34,8 @@ def knn_brute(ds, query_vecs: np.ndarray, vec_col: str, id_col: str, k: int = 10
 
     def local_topk(batch: pa.Table) -> pa.Table:
         qm = ray.get(q_ref)
-        vecs = to_matrix(batch[vec_col])  # zero-copy values-buffer reshape
+        # zero-copy values-buffer reshape; dim pins empty-block shape
+        vecs = to_matrix(batch[vec_col], dim=qm.shape[1])
         ids = np.asarray(batch[id_col].to_pylist())
         sims = _unit(vecs) @ qm.T  # (n, nq)
         out_q, out_id, out_s = [], [], []
@@ -112,7 +113,7 @@ def build_ivf_index(
 
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(c_ref)
-        vecs = _unit(to_matrix(batch[vec_col]))
+        vecs = _unit(to_matrix(batch[vec_col], dim=c.shape[1]))
         cluster = (vecs @ c.T).argmax(axis=1).astype(np.int32)
         return pa.table({
             "id": batch[id_col],
@@ -201,7 +202,7 @@ def knn_ivf(
 
     def local_topk(batch: pa.Table) -> pa.Table:
         cents_, qm, probe_list = ray.get(state)
-        vecs = _unit(to_matrix(batch[vec_col]))
+        vecs = _unit(to_matrix(batch[vec_col], dim=qm.shape[1]))
         ids = np.asarray(batch[id_col].to_pylist())
         assign = (vecs @ cents_.T).argmax(axis=1)
         mask = np.isin(assign, probe_list)

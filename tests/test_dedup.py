@@ -219,3 +219,18 @@ class TestEmbeddingNearDup:
         pairs = set(zip(out["id_a"], out["id_b"]))
         assert (0, 1) in pairs
         assert all(p == (0, 1) for p in pairs)
+
+
+class TestNgramVerifyMissingEndpoint:
+    def test_pair_with_absent_id_is_dropped_not_crashed(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(_docs_table())
+        pairs = pa.table({
+            "id_a": pa.array([0, 0], pa.int64()),
+            "id_b": pa.array([1, 999], pa.int64()),  # 999 not in the corpus
+        })
+        out = dedup.ngram_jaccard_verify(
+            ds, rd.from_arrow(pairs), "text", "doc_id", threshold=0.0
+        ).to_pandas()
+        assert set(zip(out["id_a"], out["id_b"])) == {(0, 1)}

@@ -323,3 +323,41 @@ def test_invalid_earliest_dup_does_not_shadow(ray_session, tmp_path):
 
     golden_out = run_golden(t).to_pandas()
     assert sorted(golden_out["url"]) == sorted(out["url"])
+
+
+def test_winner_meta_scan_sees_nested_shards(ray_session, tmp_path):
+    """Shard discovery for the winner meta scans must match pyarrow dataset
+    discovery (recursive): duplicate urls split across a NESTED shard
+    directory still dedup (regression: a top-level glob missed them)."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from deepseek_ocr_customvllm_ray.pipelines.extract import (
+        build_extract_pipeline_maponly,
+    )
+
+    body = b"<html><body><div id=m><p>nested shard duplicate body, long enough to extract.</p></div></body></html>"
+
+    def page(ts):
+        return pa.table({
+            "url": ["https://n/dup"],
+            "warc_ts": pa.array([ts], pa.timestamp("us")),
+            "html": pa.array([body], pa.binary()),
+            "text": [""],
+            "lang": ["en"],
+        })
+
+    root = tmp_path / "pages"
+    (root / "sub").mkdir(parents=True)
+    pq.write_table(page(dt.datetime(2026, 1, 1)), str(root / "a.parquet"))
+    pq.write_table(page(dt.datetime(2026, 2, 1)), str(root / "b.parquet"))
+    # the EARLIEST crawl hides in a nested directory
+    pq.write_table(page(dt.datetime(2025, 12, 1)), str(root / "sub" / "c.parquet"))
+
+    for strategy in ("local", "distributed"):
+        out = build_extract_pipeline_maponly(
+            str(root), ExtractConfig(winners_strategy=strategy)
+        ).to_pandas()
+        assert len(out) == 1, strategy
+        assert out["url"].tolist() == ["https://n/dup"], strategy

@@ -54,3 +54,16 @@ def test_null_row_rejected():
 def test_empty():
     arr = pa.array([], pa.list_(pa.float64()))
     assert to_matrix(arr).shape == (0, 0)
+
+
+def test_empty_with_dim():
+    arr = pa.array([], pa.list_(pa.float64()))
+    assert to_matrix(arr, dim=16).shape == (0, 16)
+    # fixed_size_list knows its own width even when empty
+    fsl = pa.array([], pa.list_(pa.float32(), 8))
+    assert to_matrix(fsl).shape == (0, 8)
+    # empty block is a matmul no-op, not a shape error
+    import numpy as np
+
+    q = np.zeros((3, 16))
+    assert (to_matrix(arr, dim=16) @ q.T).shape == (0, 3)
