@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": q.q_quality_filter,
         "batch_cli_clean": q.q_batch_cli_clean,
         "image_pipeline": q.q_image_pipeline,
+        "audio_pipeline": q.q_audio_pipeline,
+        "video_pipeline": q.q_video_pipeline,
         # relational primitives (aggregate / broadcast join / window / top-k)
         "lineitem_pricing": q.q_lineitem_pricing,
         "top_customers": q.q_top_customers,
@@ -235,6 +237,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bpe_token_counts": (
             "SELECT * FROM read_parquet('/root/repo/golden/bpe_token_counts.parquet')"
+        ),
+        "audio_pipeline": (
+            "SELECT * FROM read_parquet('/root/repo/golden/audio_pipeline.parquet')"
+        ),
+        "video_pipeline": (
+            "SELECT * FROM read_parquet('/root/repo/golden/video_pipeline.parquet')"
         ),
         "ngram_jaccard_pairs": (
             "SELECT * FROM read_parquet('/root/repo/golden/ngram_jaccard_pairs.parquet')"

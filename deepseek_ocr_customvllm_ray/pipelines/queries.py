@@ -693,6 +693,71 @@ def q_image_pipeline(sf_dir: str):
     return apply_image_pipeline(ds.map_batches(as_images, batch_format="pyarrow"))
 
 
+def q_audio_pipeline(sf_dir: str):
+    """Multimodal audio plumbing over documents-as-audio: typed metadata
+    derived deterministically per doc, actor-pool feature stage; output is
+    scalar-only (duration, rms), so it pins to a golden-snapshot oracle."""
+    from ..stages.multimodal import apply_audio_pipeline
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def as_audio(batch: pa.Table) -> pa.Table:
+        n_chars = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "id": batch["doc_id"],
+            "media": pa.array(
+                [(t or "").encode("utf-8") for t in batch["text"].to_pylist()],
+                pa.binary(),
+            ),
+            "mime": pa.array(["audio/wav"] * batch.num_rows, pa.string()),
+            "sample_rate": pa.array([16000] * batch.num_rows, pa.int32()),
+            # "duration" proportional to the doc: 100 samples per char
+            "n_samples": pa.array(n_chars * 100, pa.int64()),
+        })
+
+    return apply_audio_pipeline(ds.map_batches(as_audio, batch_format="pyarrow"))
+
+
+def q_video_pipeline(sf_dir: str):
+    """Multimodal video plumbing over documents-as-videos: evenly-spaced
+    deterministic frame sampling (one output row per sampled frame);
+    deterministic fake frames pin to a golden-snapshot oracle."""
+    from ..stages.multimodal import apply_video_pipeline
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def as_video(batch: pa.Table) -> pa.Table:
+        n_chars = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "id": batch["doc_id"],
+            "media": pa.array(
+                [(t or "").encode("utf-8") for t in batch["text"].to_pylist()],
+                pa.binary(),
+            ),
+            "mime": pa.array(["video/mp4"] * batch.num_rows, pa.string()),
+            "fps": pa.array([24.0] * batch.num_rows, pa.float64()),
+            # one "frame" per 10 chars, at least one
+            "n_frames": pa.array(np.maximum(1, n_chars // 10), pa.int64()),
+        })
+
+    out = apply_video_pipeline(ds.map_batches(as_video, batch_format="pyarrow"))
+
+    def hex_frames(batch: pa.Table) -> pa.Table:
+        # hex instead of raw binary: the driver's value compare str()s each
+        # cell and DuckDB surfaces BLOBs as bytearray while pandas gives
+        # bytes — same bytes, different str() — so binary columns cannot be
+        # golden-compared directly; the hex digest pins identical content
+        return pa.table({
+            "id": batch["id"],
+            "frame_no": batch["frame_no"],
+            "frame_hex": pa.array(
+                [f.hex() for f in batch["frame"].to_pylist()], pa.string()
+            ),
+        })
+
+    return out.map_batches(hex_frames, batch_format="pyarrow")
+
+
 def q_events_hourly(sf_dir: str):
     """Tumbling-window aggregate: events per (event_type, hour)."""
     from ray.data.aggregate import Count, Sum

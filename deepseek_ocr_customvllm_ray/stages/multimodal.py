@@ -188,3 +188,21 @@ def apply_image_pipeline(ds, batch_size: int = 8, concurrency=(1, 4)):
         ImageEmbedStage, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1,
     )
+
+
+def apply_audio_pipeline(ds, batch_size: int = 8, concurrency=(1, 4)):
+    """Audio feature extraction over an audio table (same actor-pool /
+    small-batch conventions as the image pipeline)."""
+    return ds.map_batches(
+        AudioFeatureStage, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1,
+    )
+
+
+def apply_video_pipeline(ds, k: int = 4, batch_size: int = 8, concurrency=(1, 4)):
+    """Frame sampling over a video table: one row per sampled frame."""
+    return ds.map_batches(
+        VideoFrameSampleStage, fn_constructor_kwargs={"k": k},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1,
+    )

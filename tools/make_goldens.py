@@ -37,6 +37,8 @@ GOLDEN_QUERIES = [
     "knn_ivf",
     "ngram_jaccard_pairs",
     "bpe_token_counts",
+    "audio_pipeline",
+    "video_pipeline",
 ]
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "golden")
