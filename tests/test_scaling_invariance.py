@@ -53,3 +53,46 @@ def test_same_bytes_at_two_parallelism_levels(tmp_path):
 
     assert results[2]["rows"] == results[4]["rows"] > 0
     assert results[2]["sha"] == results[4]["sha"]
+
+
+_CODE_QUERIES = """
+import sys, json, hashlib
+import ray
+ray.init(address="local", num_cpus=%(ncpu)d, include_dashboard=False,
+         ignore_reinit_error=True, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+sys.path.insert(0, %(repo)r)
+from deepseek_ocr_customvllm_ray.pipelines import queries as q
+out = {}
+for name in ("q_minhash_clusters", "q_ngram_jaccard_pairs", "q_simhash_signatures",
+             "q_bpe_token_counts", "q_knn_ivf", "q_events_recent_orders"):
+    res = getattr(q, name)(%(sf)r)
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    df = df[sorted(df.columns)]
+    rows = sorted(tuple(str(v) for v in r) for r in df.itertuples(index=False, name=None))
+    h = hashlib.sha256()
+    for r in rows:
+        h.update("\\x1f".join(r).encode("utf-8")); h.update(b"\\x1e")
+    out[name] = {"rows": len(df), "sha": h.hexdigest()}
+print(json.dumps(out))
+ray.shutdown()
+"""
+
+
+@pytest.mark.slow
+def test_distributed_queries_invariant_across_parallelism():
+    """The golden-snapshot-pinned queries (and the range join) must produce
+    value-identical results in fresh sessions at different num_cpus — the
+    property the pinned oracles rely on."""
+    results = {}
+    for ncpu in (2, 6):
+        out = subprocess.run(
+            [sys.executable, "-c",
+             _CODE_QUERIES % {"ncpu": ncpu, "repo": REPO, "sf": "/root/testdata/sf0.001"}],
+            capture_output=True, text=True, cwd=REPO, timeout=600,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
+    assert results[2] == results[6]
+    assert all(v["rows"] > 0 for v in results[2].values())
