@@ -244,11 +244,13 @@ def oracle_sql() -> dict[str, str]:
         "video_pipeline": (
             "SELECT * FROM read_parquet('/root/repo/golden/video_pipeline.parquet')"
         ),
+        "image_pipeline": (
+            "SELECT * FROM read_parquet('/root/repo/golden/image_pipeline.parquet')"
+        ),
         "ngram_jaccard_pairs": (
             "SELECT * FROM read_parquet('/root/repo/golden/ngram_jaccard_pairs.parquet')"
         ),
-        # Still rows-only (approximate BY DESIGN, values legitimately vary
-        # with execution): approx_distinct_texts (HLL estimate),
-        # embedding_near_dups (float cosines near the threshold),
-        # image_pipeline (multi-MB binary passthrough columns).
+        # Still rows-only (approximate BY DESIGN): approx_distinct_texts
+        # (HLL estimate), embedding_near_dups (float cosines near the
+        # threshold).
     }

@@ -690,7 +690,22 @@ def q_image_pipeline(sf_dir: str):
             "mime": pa.array(["image/jpeg"] * batch.num_rows, pa.string()),
         })
 
-    return apply_image_pipeline(ds.map_batches(as_images, batch_format="pyarrow"))
+    out = apply_image_pipeline(ds.map_batches(as_images, batch_format="pyarrow"))
+
+    def pin_embeddings(batch: pa.Table) -> pa.Table:
+        # the driver's value compare str()s cells, and a float32 list column
+        # round-trips differently through DuckDB (python list) and pandas
+        # (numpy array) — pin the embedding CONTENT as the hex of its
+        # float32 buffer instead (golden-snapshot-safe scalar)
+        from ..functions.vectors import to_matrix
+
+        mat = to_matrix(batch["embedding"], dtype=np.float32, dim=32)
+        return pa.table({
+            "id": batch["id"],
+            "emb_hex": pa.array([row.tobytes().hex() for row in mat], pa.string()),
+        })
+
+    return out.map_batches(pin_embeddings, batch_format="pyarrow")
 
 
 def q_audio_pipeline(sf_dir: str):

@@ -39,6 +39,7 @@ GOLDEN_QUERIES = [
     "bpe_token_counts",
     "audio_pipeline",
     "video_pipeline",
+    "image_pipeline",
 ]
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "golden")
