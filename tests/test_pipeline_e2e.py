@@ -361,3 +361,56 @@ def test_winner_meta_scan_sees_nested_shards(ray_session, tmp_path):
         ).to_pandas()
         assert len(out) == 1, strategy
         assert out["url"].tolist() == ["https://n/dup"], strategy
+
+
+def test_distributed_winners_many_tie_groups(ray_session, tmp_path):
+    """Several urls with timestamp ties (different payloads per tie, plus an
+    invalid candidate inside a tie group) resolve to exactly one row per
+    url, matching the golden driver."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from deepseek_ocr_customvllm_ray.pipelines.extract import (
+        build_extract_pipeline_maponly,
+    )
+
+    def body(tag):
+        return (
+            f"<html><body><div id=m><p>tie group body {tag}, long enough to extract "
+            f"properly indeed.</p></div></body></html>"
+        ).encode()
+
+    T0 = dt.datetime(2026, 1, 1)
+    rows = []
+    for g in range(4):
+        url = f"https://t/{g}"
+        # two distinct payloads at the SAME earliest ts -> sha tie-break
+        rows.append((url, T0, body(f"{g}a")))
+        rows.append((url, T0, body(f"{g}b")))
+        # a later crawl that must lose
+        rows.append((url, dt.datetime(2026, 2, 1), body(f"{g}late")))
+    # one tie group whose members include an INVALID (empty) candidate
+    rows.append(("https://t/inv", T0, b""))
+    rows.append(("https://t/inv", T0, body("inv-valid")))
+
+    t = pa.table({
+        "url": [r[0] for r in rows],
+        "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "html": pa.array([r[2] for r in rows], pa.binary()),
+        "text": [""] * len(rows),
+        "lang": ["en"] * len(rows),
+    })
+    p = str(tmp_path / "ties.parquet")
+    pq.write_table(t, p)
+
+    golden_out = run_golden(t).to_pandas().sort_values("url").reset_index(drop=True)
+    for strategy in ("local", "distributed"):
+        out = (
+            build_extract_pipeline_maponly(
+                p, ExtractConfig(winners_strategy=strategy)
+            )
+            .to_pandas().sort_values("url").reset_index(drop=True)
+        )
+        assert out["url"].tolist() == golden_out["url"].tolist(), strategy
+        assert out["extracted_text"].tolist() == golden_out["extracted_text"].tolist(), strategy
