@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_keepers": q.q_exact_dedup_keepers,
         "minhash_clusters": q.q_minhash_clusters,
         "simhash_signatures": q.q_simhash_signatures,
+        "simhash_pairs": q.q_simhash_pairs,
         # text analysis family
         "token_counts": q.q_token_counts,
         "bpe_token_counts": q.q_bpe_token_counts,
@@ -250,7 +251,33 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": (
             "SELECT * FROM read_parquet('/root/repo/golden/ngram_jaccard_pairs.parquet')"
         ),
-        # Still rows-only (approximate BY DESIGN): approx_distinct_texts
-        # (HLL estimate), embedding_near_dups (float cosines near the
-        # threshold).
+        "simhash_pairs": (
+            "SELECT * FROM read_parquet('/root/repo/golden/simhash_pairs.parquet')"
+        ),
+        "embedding_near_dups": (
+            # cosine pinned as the hex of its float64 buffer: bucket
+            # membership and each bucket's matmul are deterministic, and
+            # cross-plane-set duplicates reduce by min(), so the float is
+            # bit-stable (a str()-rounded float would not round-trip
+            # identically through DuckDB and pandas)
+            "SELECT * FROM read_parquet('/root/repo/golden/embedding_near_dups.parquet')"
+        ),
+        "approx_distinct_texts": (
+            # the HLL estimate is approximate vs the TRUE distinct count but
+            # is a deterministic pure function of the input (fixed hash,
+            # fixed p, merge-order-free registers) — snapshot-pinnable
+            "SELECT * FROM read_parquet('/root/repo/golden/approx_distinct_texts.parquet')"
+        ),
+    }
+
+
+def oracle_kinds() -> dict[str, str]:
+    """Provenance tag per oracle (ADVICE r2): ``"sql"`` = independent
+    DuckDB reimplementation; ``"snapshot"`` = pinned output of this engine
+    (a determinism/regression gate — the semantic evidence for those lives
+    in the pytest parity and hand-computed tests, see BASELINE.md)."""
+    sqls = oracle_sql()
+    return {
+        name: ("snapshot" if "read_parquet('/root/repo/golden/" in sql else "sql")
+        for name, sql in sqls.items()
     }

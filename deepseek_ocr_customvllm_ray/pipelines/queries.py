@@ -267,18 +267,26 @@ def q_customers_without_orders(sf_dir: str):
     """Broadcast ANTI-join: count customers with no orders (order custkey
     set via ray.put, vectorized isin filter — no shuffle).  Returns a
     1-row count so the result keeps a schema even when the anti-join is
-    empty."""
+    empty.
+
+    NULL semantics match the SQL ``NOT IN`` oracle for null-free order
+    keys: null o_custkey values are dropped from the broadcast set (they
+    can never equal anything), and a null c_custkey row is EXCLUDED from
+    the count (``NULL NOT IN (...)`` is unknown in SQL; Arrow's ``is_in``
+    treats null as non-member, so the exclusion is an explicit
+    ``is_valid`` conjunct)."""
     import pandas as pd
     import ray
 
     custkeys = _read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
-    ref = ray.put(pa.array(sorted(custkeys), pa.int64()))
+    ref = ray.put(pa.array(sorted(k for k in custkeys if k is not None), pa.int64()))
 
     cust = _read(sf_dir, "customer", ["c_custkey"])
 
     def anti(batch: pa.Table) -> pa.Table:
         keys = ray.get(ref)
-        mask = pc.invert(pc.is_in(batch["c_custkey"].cast(pa.int64()), value_set=keys))
+        ck = batch["c_custkey"].cast(pa.int64())
+        mask = pc.and_(pc.invert(pc.is_in(ck, value_set=keys)), pc.is_valid(ck))
         return batch.filter(mask)
 
     n = cust.map_batches(anti, batch_format="pyarrow").count()
@@ -527,18 +535,21 @@ def q_top_customers(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_of = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
-    ref = ray.put(seg_of)
+    # broadcast two parallel Arrow arrays (key -> segment); the per-batch
+    # join is index_in + take (fully vectorized, no per-row dict lookups)
+    key_arr = pa.array(cust["c_custkey"].astype("int64"), pa.int64())
+    seg_arr = pa.array(cust["c_mktsegment"], pa.string())
+    ref = ray.put((key_arr, seg_arr))
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def join_batch(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(ref)
-        keys = batch["o_custkey"].to_pylist()
-        segs = [lookup.get(k, "UNKNOWN") for k in keys]
+        keys, segs = ray.get(ref)
+        idx = pc.index_in(batch["o_custkey"].cast(pa.int64()), value_set=keys)
+        seg = pc.fill_null(pc.take(segs, idx), "UNKNOWN")  # null idx = no match
         cents = pc.cast(pc.floor(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64())
         return pa.table({
-            "c_mktsegment": pa.array(segs, pa.string()),
+            "c_mktsegment": seg,
             "price_cents": cents,
         })
 
@@ -648,9 +659,42 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return dedup.ngram_jaccard_verify(ds, pairs, "text", "doc_id", k=3, threshold=0.5)
 
 
+def q_simhash_pairs(sf_dir: str):
+    """Distributed SimHash near-dup pairs (partition-level bucket
+    enumeration, Dataset end to end); deterministic and
+    parallelism-invariant, so it pins to a golden-snapshot oracle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.simhash_near_dup_pairs(ds, "text", "doc_id", max_hamming=3)
+
+
 def q_embedding_near_dups(sf_dir: str):
+    """Distributed hyperplane-LSH + exact-cosine near-dup pairs.  The
+    cosine is pinned as the hex of its float64 buffer (like
+    ``image_pipeline``): bucket membership is a pure function of the
+    input, each bucket's matmul is deterministic, and cross-set duplicates
+    reduce by min() — so the float is bit-stable and snapshot-safe, while
+    a str()-rounded float would not round-trip through DuckDB.
+
+    Parameters are corpus-matched: the synthetic embeddings are random
+    unit-ish vectors whose max pairwise cosine is ~0.51, so the production
+    default (threshold 0.95, 12 planes) returns zero rows — a VACUOUS
+    oracle.  threshold=0.3 with 4 planes yields a few hundred
+    deterministic pairs, which actually exercises bucketing, verify and
+    the min-cosine dedup."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return dedup.embedding_near_dup_pairs(ds, "embedding", "vec_id", threshold=0.95)
+    out = dedup.embedding_near_dup_pairs(
+        ds, "embedding", "vec_id", threshold=0.3, n_planes=4
+    )
+
+    def pin(batch: pa.Table) -> pa.Table:
+        cos = batch["cosine"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "id_a": batch["id_a"],
+            "id_b": batch["id_b"],
+            "cosine_hex": pa.array([c.tobytes().hex() for c in cos], pa.string()),
+        })
+
+    return out.map_batches(pin, batch_format="pyarrow")
 
 
 def q_knn_ivf(sf_dir: str):

@@ -46,28 +46,51 @@ def add_sha1(text_col: str, out_col: str = "content_sha1"):
     return fn
 
 
-def exact_dedup(ds, text_col: str, id_col: str):
-    """One row per distinct text, keeper = min(id).  Shuffles only
-    (hash, id); keeps payload rows in place and filters them with a
-    broadcast keeper-id set (scale path: the keeper set is ids only; for
-    corpora where even that is large, swap the final filter for a
-    hash-partitioned semi-join on ``content_sha1``)."""
-    import ray
+def exact_dedup(
+    ds,
+    text_col: str,
+    id_col: str,
+    strategy: str = "auto",
+    broadcast_max_rows: int = 2_000_000,
+    num_partitions: int = 64,
+):
+    """ONE public exact-dedup entry point: one row per distinct text,
+    keeper = min(id).
 
-    hashed = ds.map_batches(add_sha1(text_col), batch_format="pyarrow")
+    Strategy (mirrors ``cfg.winners_strategy`` for url dedup):
+    - ``"broadcast"``: shuffle only (hash, id) pairs through a tiny
+      groupby, then filter payload rows in place with a broadcast
+      keeper-id set (``ray.put`` once, vectorized ``pc.is_in`` per batch).
+      Fastest while the keeper-id set fits driver/worker heap.
+    - ``"shuffle"``: hash-partition full rows by content sha so copies
+      co-locate, partition-local drop-duplicates — no driver-side set,
+      works at any corpus size (:func:`exact_dedup_shuffle`).
+    - ``"auto"`` (default): pick by ``ds.count()`` vs
+      ``broadcast_max_rows``.  For fresh parquet reads ``count()`` is a
+      metadata-only read; for already-transformed inputs pass an explicit
+      strategy to avoid executing the upstream twice.
+    """
+    if strategy == "auto":
+        strategy = "broadcast" if ds.count() <= broadcast_max_rows else "shuffle"
+    if strategy == "shuffle":
+        return exact_dedup_shuffle(ds, text_col, id_col, num_partitions)
+    if strategy != "broadcast":
+        raise ValueError(f"unknown exact_dedup strategy: {strategy!r}")
+
+    import ray
     from ray.data.aggregate import Min
 
+    hashed = ds.map_batches(add_sha1(text_col), batch_format="pyarrow")
     keepers = (
         hashed.select_columns(["content_sha1", id_col])
         .groupby("content_sha1")
         .aggregate(Min(id_col, alias_name="keeper_id"))
     )
-    keeper_ids = set(keepers.to_pandas()["keeper_id"].tolist())
-    ref = ray.put(keeper_ids)
+    ref = ray.put(pa.array(keepers.to_pandas()["keeper_id"]))
 
     def keep(batch: pa.Table) -> pa.Table:
         ids = ray.get(ref)
-        mask = pa.array([i in ids for i in batch[id_col].to_pylist()], pa.bool_())
+        mask = pc.is_in(batch[id_col], value_set=ids.cast(batch[id_col].type))
         return batch.filter(mask)
 
     return hashed.map_batches(keep, batch_format="pyarrow")
@@ -185,68 +208,10 @@ def _pairs_from_band(group: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"id_a": a_l, "id_b": b_l, "sig_a": sa, "sig_b": sb})
 
 
-def minhash_near_dup_clusters(
-    ds,
-    text_col: str,
-    id_col: str,
-    num_perm: int = 64,
-    n_bands: int = 16,
-    shingle_k: int = 3,
-    threshold: float = 0.8,
-    seed: int = 1234,
-) -> pd.DataFrame:
-    """Full MinHash-LSH near-dup pipeline -> DataFrame (id, cluster_id).
-
-    cluster_id = min id of the connected component under the "signature
-    similarity >= threshold" relation.  Singleton docs get cluster_id = id.
-    The candidate-pair list and the union-find run driver-side: the pair
-    list is the post-LSH survivor set (tiny vs corpus); the scale path for a
-    truly huge pair list is iterative min-label propagation with
-    groupby(id) — same result, documented here as the swap-in.
-    """
-    sig_ds = ds.map_batches(
-        make_minhash_batch(text_col, id_col, num_perm, n_bands, shingle_k, seed),
-        batch_format="pyarrow",
-    )
-    pairs = (
-        sig_ds.groupby(["band_no", "band_key"])
-        .map_groups(_pairs_from_band, batch_format="pandas")
-        .to_pandas()
-    )
-    if len(pairs) == 0 or "id_a" not in pairs.columns:
-        # all buckets were singletons — no candidates at all
-        pairs = pd.DataFrame({"id_a": [], "id_b": [], "sig_a": [], "sig_b": []})
-    # verify by signature similarity (estimate of Jaccard)
-    parent: Dict = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    def union(x, y):
-        rx, ry = find(x), find(y)
-        if rx != ry:
-            if ry < rx:
-                rx, ry = ry, rx
-            parent[ry] = rx
-
-    seen_pair = set()
-    for ia, ib, sa, sb in zip(pairs["id_a"], pairs["id_b"], pairs["sig_a"], pairs["sig_b"]):
-        key = (ia, ib)
-        if key in seen_pair:
-            continue
-        seen_pair.add(key)
-        sig_a = np.frombuffer(sa, dtype=np.uint64)
-        sig_b = np.frombuffer(sb, dtype=np.uint64)
-        if hx.signature_similarity(sig_a, sig_b) >= threshold:
-            union(ia, ib)
-
-    all_ids = ds.select_columns([id_col]).to_pandas()[id_col].tolist()
-    return pd.DataFrame(
-        {"id": all_ids, "cluster_id": [find(i) for i in all_ids]}
-    ).sort_values("id").reset_index(drop=True)
+# NOTE: the driver-side union-find cluster labeler (whole-corpus id
+# materialization) was quarantined to tests/local_reference.py in round 3 —
+# the only importable clustering API is the distributed
+# :func:`minhash_near_dup_clusters_ds`.
 
 
 def minhash_candidate_pairs(
@@ -332,9 +297,16 @@ def propagate_min_labels(pairs_ds, num_partitions: int = 16, max_rounds: int = 3
     one vectorized pandas merge (NOT one Python call per node), then reduced
     with a Ray-native ``groupby(node).min``.  Labels decrease monotonically,
     so the (tiny) per-round label sum is a convergence certificate: equal
-    sums <=> fixpoint.  Rounds are bounded by component diameter; the
-    star-capped LSH buckets keep that small.  Everything is a Dataset — the
-    driver only sees per-round scalar sums.
+    sums <=> fixpoint.  Everything is a Dataset — the driver only sees
+    per-round scalar sums.
+
+    Each round ALSO feeds every label row back in as a shortcut edge
+    ``label -> node``, so a node additionally learns ``label(label(node))``
+    — pointer jumping.  Convergence is therefore O(log diameter) rounds,
+    not O(diameter): a chain of 10^6 links resolves in ~20 rounds, and the
+    default ``max_rounds=30`` covers any component a physical corpus can
+    produce (2^30-link chains).  Callers can still raise ``max_rounds``
+    (plumbed through :func:`minhash_near_dup_clusters_ds`).
     """
     import ray.data as rd
     from ray.data.aggregate import Min
@@ -404,9 +376,23 @@ def propagate_min_labels(pairs_ds, num_partitions: int = 16, max_rounds: int = 3
         # asserts homogeneous block types)
         return batch
 
+    def tag_shortcut(batch: pa.Table) -> pa.Table:
+        # label row (node, l) re-enters as edge l -> node: node then
+        # receives label(l) in the same exchange (pointer jumping).
+        # Self-labeled rows are skipped — their shortcut is the identity.
+        t = batch.filter(pc.not_equal(batch["node"], batch["label"]))
+        n = t.num_rows
+        return pa.table({
+            "key": t["label"],
+            "dst": t["node"],
+            "label": pa.nulls(n, pa.int64()),
+        })
+
     tagged_edges = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
     for _ in range(max_rounds):
-        u = tagged_edges.union(labels.map_batches(tag_labels, batch_format="pyarrow"))
+        u = tagged_edges.union(
+            labels.map_batches(tag_labels, batch_format="pyarrow")
+        ).union(labels.map_batches(tag_shortcut, batch_format="pyarrow"))
         labels = (
             with_hash_partition_int(u, "key", num_partitions)
             .groupby("_part")
@@ -461,10 +447,13 @@ def minhash_near_dup_clusters_ds(
     seed: int = 1234,
     num_partitions: int = 16,
     pairs_inline_max: int = 5_000_000,
+    max_rounds: int = 30,
 ):
-    """Scale path of :func:`minhash_near_dup_clusters`: identical labels
-    (cluster_id = min id of the signature-similarity component; singletons
-    get their own id) with ZERO whole-corpus driver materialization.
+    """MinHash-LSH near-dup clustering -> Dataset (id, cluster_id):
+    cluster_id = min id of the signature-similarity component; singletons
+    get their own id.  ZERO whole-corpus driver materialization.  (The
+    driver-side union-find twin lives in tests/local_reference.py as the
+    parity reference.)
 
     Labeling strategy by verified-pair count (the LSH survivor set, orders
     of magnitude smaller than the corpus):
@@ -509,7 +498,9 @@ def minhash_near_dup_clusters_ds(
         # the text column
         return ds.select_columns([id_col]).map_batches(assign, batch_format="pyarrow")
 
-    labels = propagate_min_labels(pairs, num_partitions=num_partitions)
+    labels = propagate_min_labels(
+        pairs, num_partitions=num_partitions, max_rounds=max_rounds
+    )
 
     def base_rows(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].cast(pa.int64())
@@ -674,6 +665,58 @@ def ngram_jaccard_verify(
     return out
 
 
+# --- pair dedup (shared by simhash / embedding) ---------------------------
+
+
+def _dedup_pairs_ds(pairs_ds, value_col: str, value_type, num_partitions: int = 32):
+    """Distributed pair dedup: hash-partition (id_a, id_b) rows on a mixed
+    pair key, per-partition groupby-min of ``value_col`` — one thin shuffle
+    of id/value triples, Dataset in, Dataset out.  ``min`` (not "first")
+    makes the surviving value deterministic when a pair is emitted by
+    several buckets/plane sets with ulp-level float differences.
+
+    The result is materialized (pair sets are LSH survivor sets, orders of
+    magnitude smaller than the corpus) and a zero-pair outcome is replaced
+    by a typed empty Dataset: Ray derives NO schema from all-empty blocks
+    — even typed ones — which would break downstream
+    ``to_pandas``/parquet writes."""
+    schema = pa.schema([
+        ("id_a", pa.int64()), ("id_b", pa.int64()), (value_col, value_type)
+    ])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.int64).astype(np.uint64)
+        b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.int64).astype(np.uint64)
+        mixed = (a * np.uint64(0x9E3779B97F4A7C15) + b) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        mixed ^= mixed >> np.uint64(33)
+        return batch.append_column(
+            "_part", pa.array((mixed % np.uint64(num_partitions)).astype(np.int32), pa.int32())
+        )
+
+    def drop(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["id_a", "id_b"], as_index=False)[value_col].min()
+        return pd.DataFrame({
+            "id_a": out["id_a"].astype("int64"),
+            "id_b": out["id_b"].astype("int64"),
+            value_col: out[value_col],
+        })
+
+    import ray.data as rd
+
+    deduped = (
+        pairs_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(drop, batch_format="pandas")
+        .map_batches(
+            lambda t: t.select(schema.names).cast(schema), batch_format="pyarrow"
+        )
+        .materialize()
+    )
+    if deduped.count() == 0:
+        return rd.from_arrow(schema.empty_table())
+    return deduped
+
+
 # --- SimHash --------------------------------------------------------------
 
 
@@ -694,121 +737,209 @@ def simhash_signatures(ds, text_col: str, id_col: str):
     return ds.map_batches(make_simhash_batch(text_col, id_col), batch_format="pyarrow")
 
 
-def simhash_near_dup_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3) -> pd.DataFrame:
-    """4-band 16-bit bucket LSH over 63-bit simhashes, Hamming-verified."""
+def _simhash_pairs_in_bucket(rows, max_hamming: int):
+    """Hamming-verified pairs within one bucket.  ``rows``: sorted list of
+    unique (id, simhash).  Hot buckets (>200) fall back to a STAR pairing
+    against the bucket-minimum id — O(n) pairs, connectivity preserved.
+    Module-level so the serial reference in tests/local_reference.py uses
+    the identical kernel."""
+    a_l, b_l, h_l = [], [], []
+    if len(rows) <= 200:
+        candidates = (
+            (rows[x], rows[y])
+            for x in range(len(rows))
+            for y in range(x + 1, len(rows))
+        )
+    else:
+        candidates = ((rows[0], rows[y]) for y in range(1, len(rows)))
+    for (ia, sa), (ib, sb) in candidates:
+        h = hx.hamming64(sa, sb)
+        if h <= max_hamming:
+            a_l.append(ia); b_l.append(ib); h_l.append(h)
+    return a_l, b_l, h_l
+
+
+def simhash_near_dup_pairs(
+    ds, text_col: str, id_col: str, max_hamming: int = 3, num_partitions: int = 32
+):
+    """4-band 16-bit bucket LSH over 63-bit simhashes, Hamming-verified —
+    fully distributed, Dataset (id_a, id_b, hamming) out.
+
+    Same shape as :func:`minhash_candidate_pairs`: band rows are exploded
+    VECTORIZED (numpy shifts, no per-row Python), buckets co-locate by a
+    hash of the combined (band_no, band_key) key, and one task per
+    PARTITION enumerates its buckets with a pandas groupby (per-bucket
+    ``map_groups`` measured ~10x slower at 80k buckets).  Cross-band
+    duplicate pairs are removed by :func:`_dedup_pairs_ds` (a second thin
+    shuffle of id/hamming triples).  Nothing reaches the driver.
+    """
     sig = simhash_signatures(ds, text_col, id_col)
 
     def explode_bands(batch: pa.Table) -> pa.Table:
-        ids, bnos, keys, sigs = [], [], [], []
-        for i, s in zip(batch["id"].to_pylist(), batch["simhash"].to_pylist()):
-            u = s & 0xFFFFFFFFFFFFFFFF  # unsigned view of the int64 simhash
-            for bn in range(4):
-                ids.append(i)
-                bnos.append(bn)
-                keys.append((u >> (16 * bn)) & 0xFFFF)
-                sigs.append(s)
+        ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sim = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = sim.view(np.uint64)
+        n = len(ids)
+        shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
+        keys = ((u[:, None] >> shifts) & np.uint64(0xFFFF)).astype(np.int64)  # n x 4
+        band_no = np.tile(np.arange(4, dtype=np.int64), n)
         return pa.table({
-            "id": pa.array(ids), "band_no": pa.array(bnos, pa.int32()),
-            "band_key": pa.array(keys, pa.int64()), "sim": pa.array(sigs, pa.int64()),
+            "id": pa.array(np.repeat(ids, 4), pa.int64()),
+            "_bkey": pa.array((band_no << np.int64(16)) | keys.reshape(-1), pa.int64()),
+            "sim": pa.array(np.repeat(sim, 4), pa.int64()),
         })
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(set(zip(g["id"], g["sim"])))
+    def pairs_from_partition(df: pd.DataFrame) -> pd.DataFrame:
         a_l, b_l, h_l = [], [], []
-        if len(rows) <= 200:
-            candidates = (
-                (rows[x], rows[y])
-                for x in range(len(rows))
-                for y in range(x + 1, len(rows))
-            )
-        else:  # hot bucket: star against the min id keeps O(n) + connectivity
-            candidates = ((rows[0], rows[y]) for y in range(1, len(rows)))
-        for (ia, sa), (ib, sb) in candidates:
-            h = hx.hamming64(sa, sb)
-            if h <= max_hamming:
-                a_l.append(ia); b_l.append(ib); h_l.append(h)
-        return pd.DataFrame({"id_a": a_l, "id_b": b_l, "hamming": h_l})
+        for _, g in df.groupby("_bkey", sort=False):
+            rows = sorted(set(zip(g["id"], g["sim"])))
+            if len(rows) < 2:
+                continue
+            a, b, h = _simhash_pairs_in_bucket(rows, max_hamming)
+            a_l.extend(a); b_l.extend(b); h_l.extend(h)
+        return pd.DataFrame({
+            "id_a": pd.Series(a_l, dtype="int64"),
+            "id_b": pd.Series(b_l, dtype="int64"),
+            "hamming": pd.Series(h_l, dtype="int64"),
+        })
 
-    out = (
-        sig.map_batches(explode_bands, batch_format="pyarrow")
-        .groupby(["band_no", "band_key"])
-        .map_groups(pairs_in_bucket, batch_format="pandas")
-        .to_pandas()
+    from .partition import with_hash_partition_int
+
+    pairs = (
+        with_hash_partition_int(
+            sig.map_batches(explode_bands, batch_format="pyarrow"),
+            "_bkey",
+            num_partitions,
+        )
+        .groupby("_part")
+        .map_groups(pairs_from_partition, batch_format="pandas")
     )
-    if len(out) == 0 or "id_a" not in out.columns:
-        return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-    return out.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return _dedup_pairs_ds(pairs, "hamming", pa.int64(), num_partitions)
 
 
 # --- embedding near-dup ---------------------------------------------------
 
 
-def embedding_near_dup_pairs(
-    ds, vec_col: str, id_col: str, threshold: float = 0.95, n_planes: int = 12, seed: int = 99,
-) -> pd.DataFrame:
-    """Random-hyperplane LSH buckets -> exact cosine verify within bucket.
+def _cosine_pairs_in_bucket(ids, mat, threshold: float):
+    """Cosine-verified pairs within one bucket.  ``ids``: sorted unique id
+    list; ``mat``: unit vectors in the same order.  <=300 members: full
+    upper-triangle matmul; hot buckets: star against the min id (O(n),
+    keeps dups linked).  Module-level so the serial reference in
+    tests/local_reference.py uses the identical kernel."""
+    a_l, b_l, c_l = [], [], []
+    n = len(ids)
+    if n < 2:
+        return a_l, b_l, c_l
+    ids = np.asarray(ids, dtype=np.int64)
+    if n <= 300:
+        sims = mat @ mat.T
+        xi, yi = np.triu_indices(n, k=1)
+        vals = sims[xi, yi]
+        hit = vals >= threshold
+        a_l = ids[xi[hit]].tolist()
+        b_l = ids[yi[hit]].tolist()
+        c_l = vals[hit].tolist()
+    else:
+        sims = mat[1:] @ mat[0]
+        hit = sims >= threshold
+        b_l = ids[1:][hit].tolist()
+        a_l = [int(ids[0])] * len(b_l)
+        c_l = sims[hit].tolist()
+    return a_l, b_l, c_l
 
-    Shuffles (bucket, id, vec) once; vectors stay columnar.  For recall,
-    uses 2 independent plane sets (a pair is checked if it collides in
-    either).
+
+def embedding_near_dup_pairs(
+    ds,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 99,
+    num_partitions: int = 32,
+):
+    """Random-hyperplane LSH buckets -> exact cosine verify within bucket —
+    fully distributed, Dataset (id_a, id_b, cosine) out.
+
+    Recall comes from 2 independent plane sets (a pair is checked if it
+    collides in either).  Each unit vector is computed ONCE and carried on
+    a single row with BOTH bucket-key columns (b0, b1) — the round-2
+    version exploded one row per plane set in a per-row Python loop (2x
+    materialized volume).  The bucketized table is materialized once, then
+    each plane set pays one thin hash-partition exchange keyed on its
+    bucket column; per-PARTITION pandas groupbys enumerate the buckets
+    (star-capped, as in minhash).  Duplicate pairs across the two sets are
+    merged by :func:`_dedup_pairs_ds` with min(cosine) — deterministic even
+    when the two buckets' matmuls differ at the ulp.  The driver never sees
+    a pair or a vector.
     """
+    import ray
+    import ray.data as rd
+
+    from .partition import with_hash_partition_int
+
+    empty = pa.table({
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64()),
+        "cosine": pa.array([], pa.float64()),
+    })
     first = ds.take(1)
-    if not first:  # empty corpus -> no pairs (siblings behave the same)
-        return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+    if not first:  # empty corpus -> no pairs
+        return rd.from_arrow(empty)
     dim = len(first[0][vec_col])
     rng = np.random.default_rng(seed)
     planes = [rng.standard_normal((dim, n_planes)) for _ in range(2)]
-    import ray
-
     planes_ref = ray.put(planes)
 
     def bucketize(batch: pa.Table) -> pa.Table:
         pls = ray.get(planes_ref)
         from ..functions.vectors import to_matrix
 
-        vecs = to_matrix(batch[vec_col], dim=pls[0].shape[0])
-        ids = batch[id_col].to_pylist()
+        vecs = to_matrix(batch[vec_col], dim=dim)
         norms = np.linalg.norm(vecs, axis=1)
         norms[norms == 0] = 1.0
         unit = vecs / norms[:, None]
-        out_ids, out_set, out_key, out_vec = [], [], [], []
-        for si, pl in enumerate(pls):
-            bits = (unit @ pl) > 0
-            keys = bits.dot(1 << np.arange(bits.shape[1]))
-            for i, k, v in zip(ids, keys, unit):
-                out_ids.append(i); out_set.append(si); out_key.append(int(k))
-                out_vec.append(v.tolist())
+        weights = 1 << np.arange(n_planes)
+        b0 = ((unit @ pls[0]) > 0).dot(weights).astype(np.int64)
+        b1 = ((unit @ pls[1]) > 0).dot(weights).astype(np.int64)
         return pa.table({
-            "id": pa.array(out_ids), "plane_set": pa.array(out_set, pa.int32()),
-            "bucket": pa.array(out_key, pa.int64()),
-            "unit_vec": pa.array(out_vec, pa.list_(pa.float64())),
+            "id": batch[id_col].cast(pa.int64()),
+            "b0": pa.array(b0, pa.int64()),
+            "b1": pa.array(b1, pa.int64()),
+            "unit_vec": pa.FixedSizeListArray.from_arrays(
+                pa.array(unit.reshape(-1), pa.float64()), dim
+            ),
         })
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        rows = {i: v for i, v in zip(g["id"], g["unit_vec"])}
-        ids = sorted(rows)
-        a_l, b_l, c_l = [], [], []
-        if len(ids) >= 2:
-            mat = np.asarray([rows[i] for i in ids])
-            if len(ids) <= 300:
-                sims = mat @ mat.T
-                for x in range(len(ids)):
-                    for y in range(x + 1, len(ids)):
-                        if sims[x, y] >= threshold:
-                            a_l.append(ids[x]); b_l.append(ids[y]); c_l.append(float(sims[x, y]))
-            else:  # hot bucket: star against the min id (O(n), keeps dups linked)
-                sims = mat[1:] @ mat[0]
-                for y, s in enumerate(sims, start=1):
-                    if s >= threshold:
-                        a_l.append(ids[0]); b_l.append(ids[y]); c_l.append(float(s))
-        return pd.DataFrame({"id_a": a_l, "id_b": b_l, "cosine": c_l})
+    bucketized = ds.map_batches(bucketize, batch_format="pyarrow").materialize()
 
-    out = (
-        ds.map_batches(bucketize, batch_format="pyarrow")
-        .groupby(["plane_set", "bucket"])
-        .map_groups(verify, batch_format="pandas")
-        .to_pandas()
+    def pairs_from_partition(df: pd.DataFrame, bucket_col: str) -> pd.DataFrame:
+        a_l, b_l, c_l = [], [], []
+        for _, g in df.groupby(bucket_col, sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("id")
+            ids = g["id"].to_numpy()
+            mat = np.stack(g["unit_vec"].to_numpy())
+            a, b, c = _cosine_pairs_in_bucket(ids.tolist(), mat, threshold)
+            a_l.extend(a); b_l.extend(b); c_l.extend(c)
+        return pd.DataFrame({
+            "id_a": pd.Series(a_l, dtype="int64"),
+            "id_b": pd.Series(b_l, dtype="int64"),
+            "cosine": pd.Series(c_l, dtype="float64"),
+        })
+
+    import functools
+
+    per_set = []
+    for bucket_col in ("b0", "b1"):
+        per_set.append(
+            with_hash_partition_int(bucketized, bucket_col, num_partitions)
+            .groupby("_part")
+            .map_groups(
+                functools.partial(pairs_from_partition, bucket_col=bucket_col),
+                batch_format="pandas",
+            )
+        )
+    return _dedup_pairs_ds(
+        per_set[0].union(per_set[1]), "cosine", pa.float64(), num_partitions
     )
-    if len(out) == 0 or "id_a" not in out.columns:
-        return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-    return out.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -252,10 +252,13 @@ def compute_dup_winners(meta_ds, payload_ds=None, max_payload_mb: int = 200):
         g = df.groupby("url")["warc_ts"].agg(n="count", min_ts="min")
         g = g[g["n"] > 1]
         if len(g) == 0:
+            # derive min_ts dtype from the INPUT ts column: a hard-coded
+            # datetime64[us] would mix with ns-unit blocks from non-empty
+            # partitions and leave concat-promotion behavior to chance
             return pd.DataFrame({
                 "url": pd.Series([], dtype=object),
                 "n": pd.Series([], dtype="int64"),
-                "min_ts": pd.Series([], dtype="datetime64[us]"),
+                "min_ts": pd.Series([], dtype=df["warc_ts"].dtype),
                 "k": pd.Series([], dtype="int64"),
             })
         d = df.merge(g["min_ts"], left_on="url", right_index=True)

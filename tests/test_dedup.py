@@ -67,22 +67,47 @@ class TestExactDedup:
         keepers = sorted(out.to_pandas()["doc_id"].tolist())
         assert keepers == [0, 2, 3, 4]
 
-    def test_full_rows(self, ray_session):
+    @pytest.mark.parametrize("strategy", ["auto", "broadcast", "shuffle"])
+    def test_full_rows_all_strategies(self, ray_session, strategy):
+        """ONE public entry point; every strategy (incl. the auto switch)
+        yields the same keeper rows."""
         import ray.data as rd
 
-        out = dedup.exact_dedup(rd.from_arrow(_docs_table()), "text", "doc_id")
+        out = dedup.exact_dedup(
+            rd.from_arrow(_docs_table()), "text", "doc_id", strategy=strategy
+        )
         df = out.to_pandas()
         assert sorted(df["doc_id"]) == [0, 2, 3, 4]
         assert "text" in df.columns
+
+    def test_auto_picks_shuffle_above_threshold(self, ray_session):
+        import ray.data as rd
+
+        out = dedup.exact_dedup(
+            rd.from_arrow(_docs_table()), "text", "doc_id",
+            strategy="auto", broadcast_max_rows=2,  # force the shuffle path
+        )
+        assert sorted(out.to_pandas()["doc_id"]) == [0, 2, 3, 4]
+
+    def test_unknown_strategy_rejected(self, ray_session):
+        import ray.data as rd
+
+        with pytest.raises(ValueError):
+            dedup.exact_dedup(
+                rd.from_arrow(_docs_table()), "text", "doc_id", strategy="nope"
+            )
 
 
 class TestMinhashLsh:
     def test_clusters(self, ray_session):
         import ray.data as rd
 
-        df = dedup.minhash_near_dup_clusters(
-            rd.from_arrow(_docs_table()), "text", "doc_id",
-            num_perm=128, n_bands=32, threshold=0.5, shingle_k=3,
+        df = (
+            dedup.minhash_near_dup_clusters_ds(
+                rd.from_arrow(_docs_table()), "text", "doc_id",
+                num_perm=128, n_bands=32, threshold=0.5, shingle_k=3,
+            )
+            .to_pandas()
         )
         cl = dict(zip(df["id"], df["cluster_id"]))
         # exact dup pair 0/1 must cluster; near pair 2 likely joins 0
@@ -96,7 +121,9 @@ class TestMinhashLsh:
 
         texts = [f"totally unique document number {i} with words {i*7} {i*13}" for i in range(10)]
         t = pa.table({"doc_id": list(range(10)), "text": texts})
-        df = dedup.minhash_near_dup_clusters(rd.from_arrow(t), "text", "doc_id", threshold=0.8)
+        df = dedup.minhash_near_dup_clusters_ds(
+            rd.from_arrow(t), "text", "doc_id", threshold=0.8
+        ).to_pandas()
         assert (df["id"] == df["cluster_id"]).all()
 
 
@@ -108,11 +135,13 @@ class TestDistributedClusters:
         broadcast assign; iterative min-label propagation)."""
         import ray.data as rd
 
+        from local_reference import minhash_near_dup_clusters_local
+
         for kw in (
             dict(num_perm=128, n_bands=32, threshold=0.5, shingle_k=3),
             dict(num_perm=64, n_bands=16, threshold=0.8, shingle_k=3),
         ):
-            local = dedup.minhash_near_dup_clusters(
+            local = minhash_near_dup_clusters_local(
                 rd.from_arrow(_docs_table()), "text", "doc_id", **kw
             )
             dist = (
@@ -196,10 +225,60 @@ class TestSimhash:
     def test_pairs(self, ray_session):
         import ray.data as rd
 
-        out = dedup.simhash_near_dup_pairs(rd.from_arrow(_docs_table()), "text", "doc_id", max_hamming=3)
+        out = dedup.simhash_near_dup_pairs(
+            rd.from_arrow(_docs_table()), "text", "doc_id", max_hamming=3
+        ).to_pandas()
         pairs = set(zip(out["id_a"], out["id_b"]))
         assert (0, 1) in pairs  # identical docs collide at hamming 0
         assert (4, 5) in pairs
+
+    def test_distributed_matches_serial_reference(self, ray_session):
+        """The distributed pair stage (partition-level buckets + dedup
+        shuffle) equals the pure-serial banding at several partition
+        counts — including an exact-duplicate-heavy corpus."""
+        import ray.data as rd
+
+        from local_reference import simhash_near_dup_pairs_local
+
+        texts = _docs_table()["text"].to_pylist() + [
+            "the quick brown fox jumps over the lazy dog and runs far away today",
+            f"shared boilerplate prefix sentence with suffix token variant",
+        ]
+        ids = list(range(len(texts)))
+        t = pa.table({"doc_id": ids, "text": texts})
+        expect = simhash_near_dup_pairs_local(texts, ids, max_hamming=3)
+        for nparts in (1, 7):
+            got = (
+                dedup.simhash_near_dup_pairs(
+                    rd.from_arrow(t), "text", "doc_id",
+                    max_hamming=3, num_partitions=nparts,
+                )
+                .to_pandas()
+                .sort_values(["id_a", "id_b"])
+                .reset_index(drop=True)
+            )
+            assert got["id_a"].tolist() == expect["id_a"].tolist()
+            assert got["id_b"].tolist() == expect["id_b"].tolist()
+            assert got["hamming"].tolist() == expect["hamming"].tolist()
+
+    def test_no_pairs_keeps_schema(self, ray_session):
+        import ray.data as rd
+
+        t = pa.table({
+            "doc_id": [0, 1],
+            "text": [
+                "alpha beta gamma delta epsilon words one",
+                "totally different content zeta eta theta",
+            ],
+        })
+        out = dedup.simhash_near_dup_pairs(
+            rd.from_arrow(t), "text", "doc_id", max_hamming=0
+        )
+        # the Dataset keeps its typed schema even with zero rows (Ray's
+        # .to_pandas() on an empty Dataset gives a 0-column frame — a Ray
+        # limitation, so assert on the Dataset schema)
+        assert out.schema().names == ["id_a", "id_b", "hamming"]
+        assert out.count() == 0
 
 
 class TestEmbeddingNearDup:
@@ -215,10 +294,62 @@ class TestEmbeddingNearDup:
         })
         out = dedup.embedding_near_dup_pairs(
             rd.from_arrow(t), "embedding", "vec_id", threshold=0.98
-        )
+        ).to_pandas()
         pairs = set(zip(out["id_a"], out["id_b"]))
         assert (0, 1) in pairs
         assert all(p == (0, 1) for p in pairs)
+
+    def test_distributed_matches_serial_reference(self, ray_session):
+        """Distributed pairs (one bucketize pass, two thin exchanges,
+        min-cosine dedup) equal the serial reference bit-for-bit,
+        including the cosine float, at several partition counts."""
+        import ray.data as rd
+
+        from local_reference import embedding_near_dup_pairs_local
+
+        rng = np.random.default_rng(17)
+        base = rng.standard_normal((5, 24))
+        vecs = np.concatenate([
+            base,
+            base + rng.standard_normal((5, 24)) * 0.005,  # near-dups of each
+            rng.standard_normal((20, 24)),
+        ])
+        # float32 storage (the embeddings.parquet dtype) so both paths
+        # quantize identically before unit-normalization
+        vecs = vecs.astype(np.float32)
+        ids = list(range(len(vecs)))
+        t = pa.table({
+            "vec_id": ids,
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        })
+        expect = embedding_near_dup_pairs_local(
+            vecs.astype(np.float64), ids, threshold=0.9
+        )
+        assert len(expect) >= 5  # the five planted near-dup pairs survive LSH
+        for nparts in (1, 5):
+            got = (
+                dedup.embedding_near_dup_pairs(
+                    rd.from_arrow(t), "embedding", "vec_id",
+                    threshold=0.9, num_partitions=nparts,
+                )
+                .to_pandas()
+                .sort_values(["id_a", "id_b"])
+                .reset_index(drop=True)
+            )
+            assert got["id_a"].tolist() == expect["id_a"].tolist()
+            assert got["id_b"].tolist() == expect["id_b"].tolist()
+            assert got["cosine"].tolist() == expect["cosine"].tolist()
+
+    def test_empty_corpus(self, ray_session):
+        import ray.data as rd
+
+        t = pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+        })
+        out = dedup.embedding_near_dup_pairs(rd.from_arrow(t), "embedding", "vec_id")
+        assert out.schema().names == ["id_a", "id_b", "cosine"]
+        assert out.count() == 0
 
 
 class TestNgramVerifyMissingEndpoint:

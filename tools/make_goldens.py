@@ -32,6 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 GOLDEN_QUERIES = [
     "minhash_clusters",
     "simhash_signatures",
+    "simhash_pairs",
     "langid_heuristic",
     "doc_fingerprints",
     "knn_ivf",
@@ -40,6 +41,8 @@ GOLDEN_QUERIES = [
     "audio_pipeline",
     "video_pipeline",
     "image_pipeline",
+    "embedding_near_dups",
+    "approx_distinct_texts",
 ]
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "golden")
