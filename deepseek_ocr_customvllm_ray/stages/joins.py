@@ -151,13 +151,14 @@ def range_join_count(
     0, NULL-key/-ts left rows too (NULL never matches).
 
     Same one-shuffle co-partition pattern as :func:`asof_join`: tag, union,
-    hash-partition by key, resolve per partition with a vectorized pandas
-    key-merge + interval filter.  Counting INSIDE the partition (all of a
-    left row's matches co-locate with it) avoids materializing the pair
-    blow-up or paying a second shuffle to aggregate it.  Hot-key caveat: a
-    key's |left| x |right| candidate product materializes briefly within
-    its partition; for pathological keys swap the merge for a sort-based
-    sweep — the partitioning and semantics stay identical.
+    hash-partition by key, resolve per partition with a SORT-SWEEP: right
+    rows are ts-sorted once per (partition, key), and each left row's count
+    is the difference of two ``searchsorted`` bounds on its key's slice —
+    O((|L|+|R|) log |R|) time and O(|L|+|R|) memory per key.  A skewed key
+    with 10^4 right rows never materializes its |L| x |R| candidate product
+    (the round-2 key-merge + interval filter did; see the skewed-key test
+    in tests/test_joins.py).  Counting INSIDE the partition (all of a left
+    row's matches co-locate with it) still avoids a second shuffle.
     """
     left_types = {c: _coltype(left_ds, c) for c in left_cols}
 
@@ -191,6 +192,8 @@ def range_join_count(
 
     l_out = [f"l_{c}" for c in left_cols]
 
+    import numpy as np
+
     def resolve(df: pd.DataFrame) -> pd.DataFrame:
         left = df[df["_side"] == "L"].reset_index(drop=True)
         right = df[df["_side"] == "R"]
@@ -198,16 +201,34 @@ def range_join_count(
             out = left[l_out].copy()
             out[out_col] = pd.Series([], dtype="int64")
             return out
-        counts = pd.Series(0, index=left.index, dtype="int64")
-        matchable = left["_key"].notna() & left["_ts"].notna()
+        counts = np.zeros(len(left), dtype=np.int64)
+        matchable = (left["_key"].notna() & left["_ts"].notna()).to_numpy()
         if not right.empty and matchable.any():
-            lm = left.loc[matchable, ["_key", "_ts"]].reset_index()  # 'index' = left row
-            m = lm.merge(
-                right[["_key", "_ts"]].rename(columns={"_ts": "_ts_r"}), on="_key"
+            # right side sorted ONCE by (key, ts); each key's rows form a
+            # contiguous ts-sorted slice
+            r = right[["_key", "_ts"]].sort_values(
+                ["_key", "_ts"], kind="mergesort"
             )
-            hit = m[(m["_ts_r"] <= m["_ts"]) & (m["_ts_r"] > m["_ts"] - window)]
-            per_row = hit.groupby("index").size()
-            counts.loc[per_row.index] = per_row.astype("int64")
+            r_keys = r["_key"].to_numpy()
+            r_ts = r["_ts"].to_numpy()
+            win = pd.Timedelta(window).to_numpy()
+            lm = left[matchable]
+            # one numpy pass per KEY (not per row, not per pair): two
+            # searchsorted bounds over the key's slice give the
+            # (t-window, t] count for every left row of that key at once
+            for key, g in lm.groupby("_key", sort=False):
+                lo = np.searchsorted(r_keys, key, side="left")
+                hi = np.searchsorted(r_keys, key, side="right")
+                if lo == hi:
+                    continue
+                ts_slice = r_ts[lo:hi]
+                t = g["_ts"].to_numpy()
+                c = np.searchsorted(ts_slice, t, side="right") - np.searchsorted(
+                    ts_slice, t - win, side="right"
+                )
+                # left has a RangeIndex (reset above), so g's index labels
+                # ARE the row positions in `left`
+                counts[g.index.to_numpy()] = c
         out = left[l_out].copy()
         out[out_col] = counts
         return out

@@ -58,6 +58,61 @@ class ImageDecodeStage:
         )
 
 
+def pil_available() -> bool:
+    try:
+        from PIL import Image  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+class PilImageDecodeStage:
+    """Real decode twin of :class:`ImageDecodeStage` — identical stage
+    signature (Arrow batch in, width/height/mode columns appended), PIL in
+    ``__call__``; actor form keeps codec state warm per worker.
+
+    Import-guarded: constructing it without PIL raises ImportError (fail
+    fast on the driver); use :func:`make_image_decode_stage` for automatic
+    fallback to the stubbed stage.  An undecodable payload yields
+    (0, 0, "") rather than failing the batch — per-row validity stays a
+    downstream filter, as in the validate stage."""
+
+    def __init__(self):
+        from PIL import Image  # noqa: F401 — fail fast if PIL is absent
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import io
+
+        from PIL import Image
+
+        widths, heights, modes = [], [], []
+        for payload in batch["media"].to_pylist():
+            try:
+                with Image.open(io.BytesIO(payload or b"")) as im:
+                    widths.append(int(im.width))
+                    heights.append(int(im.height))
+                    modes.append(str(im.mode))
+            except Exception:
+                widths.append(0)
+                heights.append(0)
+                modes.append("")
+        return (
+            batch.append_column("width", pa.array(widths, pa.int32()))
+            .append_column("height", pa.array(heights, pa.int32()))
+            .append_column("mode", pa.array(modes, pa.string()))
+        )
+
+
+def make_image_decode_stage(prefer_real: bool = True):
+    """Deployment seam as CONFIG: the PIL-backed stage class when the
+    library exists (and ``prefer_real``), else the stub — pass the result
+    to ``map_batches`` directly; both classes share the stage signature."""
+    if prefer_real and pil_available():
+        return PilImageDecodeStage
+    return ImageDecodeStage
+
+
 class ImageResizeStage:
     """Actor-pool stage: resize to a target box (dimension arithmetic real,
     pixel work stubbed — output payload is a deterministic fake)."""

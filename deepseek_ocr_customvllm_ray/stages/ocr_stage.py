@@ -112,6 +112,68 @@ class SyntheticPdfRenderer(PageRenderer):
         return parse_pdf_payload(payload)
 
 
+def pymupdf_available() -> bool:
+    try:
+        import fitz  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+class PyMuPdfRenderer(PageRenderer):
+    """Real rasterizer for deployments that have PyMuPDF (reference
+    contract: app/utils/utils.py:70-102 — ``get_pixmap`` at ``dpi=144``,
+    ``zoom = dpi/72``, RGB).  The page image travels in the ``emission``
+    string column as base64 PNG (PAGE_SCHEMA pins emission as a string; a
+    GPU OCR engine base64-decodes it in ``__call__``); width/height are the
+    pixmap dimensions, so tiling arithmetic (M3-M5) sees real pixels.
+
+    Import-guarded: constructing it without PyMuPDF raises ImportError
+    immediately (fail fast on the driver, not inside a worker task); use
+    :func:`make_page_renderer` for automatic fallback to the synthetic
+    renderer.  An unparseable payload renders to zero pages — the
+    reference's failure path."""
+
+    def __init__(self, dpi: int = 144):
+        import fitz  # noqa: F401 — fail fast if the deployment lacks it
+
+        self.dpi = dpi
+
+    def render(self, payload: bytes) -> List[tuple]:
+        import base64
+
+        import fitz
+
+        try:
+            doc = fitz.open(stream=payload, filetype="pdf")
+        except Exception:
+            return []
+        out = []
+        try:
+            mat = fitz.Matrix(self.dpi / 72.0, self.dpi / 72.0)
+            for page in doc:
+                pix = page.get_pixmap(matrix=mat)
+                png = pix.tobytes("png")
+                out.append(
+                    (pix.width, pix.height, base64.b64encode(png).decode("ascii"))
+                )
+        finally:
+            doc.close()
+        return out
+
+
+def make_page_renderer(prefer_real: bool = True, dpi: int = 144) -> PageRenderer:
+    """The deployment seam as CONFIG: returns :class:`PyMuPdfRenderer` when
+    the library exists (and ``prefer_real``), else the synthetic renderer —
+    so swapping to real rasterization on a PyMuPDF-equipped cluster is a
+    no-code change (pass the result to ``make_explode_documents`` /
+    ``build_extract_pipeline(renderer=...)``)."""
+    if prefer_real and pymupdf_available():
+        return PyMuPdfRenderer(dpi=dpi)
+    return SyntheticPdfRenderer()
+
+
 def make_explode_documents(renderer: PageRenderer = None):
     """Doc rows -> unified page rows (S2 analog for pdf; identity-wrap for
     html), with the page renderer injectable (PyMuPDF/GPU deployments are a

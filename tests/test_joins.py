@@ -135,6 +135,54 @@ class TestRangeJoinCount:
         )
         assert out == {1: 2, 2: 0, 3: 0, 4: 0}
 
+    def test_skewed_hot_key(self, ray_session):
+        """One user with 10^4 orders (the pathological key the round-2
+        key-merge materialized as an |L| x |R| product): the sort-sweep
+        resolves it with two searchsorted bounds per left row.  Counts are
+        verified against a direct per-row computation."""
+        import datetime as dt
+
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from deepseek_ocr_customvllm_ray.stages.joins import range_join_count
+
+        t0 = dt.datetime(2026, 1, 1)
+        n_orders = 10_000
+        rng = np.random.default_rng(7)
+        # hot key 1: 10^4 right rows over ~200 days; 50 left events
+        hot_rts = [t0 + dt.timedelta(minutes=int(m)) for m in
+                   np.sort(rng.integers(0, 200 * 24 * 60, n_orders))]
+        left_ts = [t0 + dt.timedelta(days=int(d), hours=int(h))
+                   for d, h in zip(rng.integers(0, 200, 50), rng.integers(0, 24, 50))]
+        left = pa.table({
+            "eid": pa.array(list(range(50)) + [999], pa.int64()),
+            "k": pa.array([1] * 50 + [2], pa.int64()),
+            "ts": pa.array(left_ts + [t0], pa.timestamp("us")),
+        })
+        right = pa.table({
+            "k": pa.array([1] * n_orders, pa.int64()),
+            "rts": pa.array(hot_rts, pa.timestamp("us")),
+        })
+        window = pd.Timedelta(days=90)
+        out = (
+            range_join_count(
+                rd.from_arrow(left), rd.from_arrow(right),
+                left_key="k", right_key="k", left_ts="ts", right_ts="rts",
+                window=window, left_cols=["eid"], out_col="n",
+                num_partitions=4,
+            )
+            .to_pandas().set_index("eid")["n"].to_dict()
+        )
+        rts_arr = np.array(hot_rts, dtype="datetime64[us]")
+        for eid, t in enumerate(left_ts):
+            tnp = np.datetime64(t, "us")
+            expect = int(((rts_arr <= tnp) & (rts_arr > tnp - window.to_numpy())).sum())
+            assert out[eid] == expect
+        assert out[999] == 0
+
     def test_null_key_left_row_unmatched(self, ray_session):
         import datetime as dt
 
