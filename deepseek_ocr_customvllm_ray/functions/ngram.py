@@ -19,6 +19,39 @@ from __future__ import annotations
 from typing import Iterable, List, Sequence, Set
 
 
+def _has_potential_repeat(tokens: Sequence[str], ngram_size: int, window_size: int) -> bool:
+    """Vectorized pre-check: could ANY step of the sequential suppressor
+    ban a token?  Works on the ORIGINAL stream — before the first ban the
+    emitted stream equals the input, so the first possible ban appears in
+    the input too; hence ``False`` proves the suppressor is the identity.
+
+    Detection is conservative (whitelist ignored, window slack added, and
+    64-bit rolling-hash equality instead of token equality — a true repeat
+    always hashes equal, a collision merely sends one doc down the exact
+    sequential path).  Cost: one ``np.unique`` + one (T, n-1) uint64 matmul
+    + one argsort — numpy-speed O(T log T) vs the Python per-token loop,
+    which measured ~2/3 of the whole flagship extraction wall.
+    """
+    import numpy as np
+
+    P = ngram_size - 1
+    T = len(tokens)
+    if P < 1 or T < ngram_size:
+        return T >= ngram_size  # ngram_size == 1 has its own loop: no claim
+    _, ids = np.unique(np.asarray(tokens, dtype=object), return_inverse=True)
+    ids = ids.astype(np.uint64)
+    powers = np.uint64(1099511628211) ** np.arange(P - 1, -1, -1, dtype=np.uint64)
+    grams = np.lib.stride_tricks.sliding_window_view(ids, P)
+    H = grams @ powers  # uint64 wraparound poly hash per (n-1)-gram
+    order = np.argsort(H, kind="stable")  # stable: equal hashes in pos order
+    hs = H[order]
+    same = hs[1:] == hs[:-1]
+    if not same.any():
+        return False
+    gap = order[1:] - order[:-1]
+    return bool((same & (gap <= window_size + ngram_size)).any())
+
+
 def suppress_repeats(
     tokens: Sequence[str],
     ngram_size: int = 20,
@@ -38,6 +71,8 @@ def suppress_repeats(
     if not isinstance(window_size, int) or window_size <= 0:
         raise ValueError(f"`window_size` has to be a strictly positive integer, but is {window_size}")
     wl: Set[str] = set(whitelist or ())
+    if ngram_size > 1 and not _has_potential_repeat(tokens, ngram_size, window_size):
+        return list(tokens)  # proven identity: skip the sequential walk
     out: List[str] = []
     if ngram_size == 1:
         # degenerate case: every previously-seen in-window token is banned

@@ -211,7 +211,9 @@ def build_extract_pipeline_maponly(
     ds = read_pages(pages_path, **read_kw)
     ds = ds.map_batches(make_route_batch(cfg.max_payload_mb), batch_format="pyarrow")
     if winners:
-        winners_ref = ray.put(winners)
+        from ..stages.dedup_meta import winners_to_arrays
+
+        winners_ref = ray.put(winners_to_arrays(winners))
         ds = ds.map_batches(make_winner_filter(winners_ref), batch_format="pyarrow")
     if clone_rows is not None:
         # canonical rows for exact-clone urls rejoin AFTER the loser filter

@@ -332,31 +332,53 @@ def compute_dup_winners(meta_ds, payload_ds=None, max_payload_mb: int = 200):
     return winners, clone_rows
 
 
+def winners_to_arrays(winners: Dict[str, Tuple]):
+    """{url: (min_ts | "__CLONE__", _)} -> three parallel broadcast arrays
+    (urls, winning ts with null for clones, clone flags) for the vectorized
+    winner filter."""
+    urls, tss, clones = [], [], []
+    for u, (ts, _sha) in winners.items():
+        urls.append(u)
+        if ts == "__CLONE__":
+            tss.append(None)
+            clones.append(True)
+        else:
+            tss.append(ts)
+            clones.append(False)
+    return (
+        pa.array(urls, pa.string()),
+        pa.array(tss, pa.timestamp("us")),
+        pa.array(clones, pa.bool_()),
+    )
+
+
 def make_winner_filter(winners_ref):
-    """Keep-predicate over a broadcast winner map: non-dup urls pass with a
-    zero-copy ``is_in`` mask; only the rare dup-url rows pay a per-row
-    Python check (dup urls pass only the winning (ts) row; clone urls never
-    pass — their canonical row is unioned separately)."""
+    """Keep-predicate over broadcast winner arrays — FULLY vectorized.
+
+    ``winners_ref``: ``ray.put`` of :func:`winners_to_arrays` output.  Per
+    batch: ``index_in`` maps each url into the winner table (null = not a
+    dup -> keep); dup rows keep iff their ts equals the winning ts and the
+    url is not an exact-clone set (clone urls carry a null winning ts, so
+    the Kleene ``ts == null AND false`` collapses to false and they never
+    pass — their canonical row is unioned back separately).  The round-2
+    version fell back to a per-row Python loop over the WHOLE batch
+    whenever it contained a single dup url, which at a few-percent dup
+    rate means every batch (measured ~4 s of the 26 s flagship wall)."""
     import ray
 
     def fn(batch: pa.Table) -> pa.Table:
-        winners = ray.get(winners_ref)
-        if not winners:
+        urls, tss, clones = ray.get(winners_ref)
+        if len(urls) == 0:
             return batch
-        dup_mask = pc.is_in(
-            batch["url"], value_set=pa.array(list(winners), pa.string())
-        )
-        if not pc.any(dup_mask).as_py():
+        idx = pc.index_in(batch["url"], value_set=urls)
+        if not pc.any(pc.is_valid(idx)).as_py():
             return batch  # common case: nothing to filter, zero copies
-        keep = dup_mask.to_pylist()
-        urls = batch["url"].to_pylist()
-        tss = batch["warc_ts"].to_pylist()
-        for i, is_dup in enumerate(keep):
-            if not is_dup:
-                keep[i] = True
-                continue
-            w = winners[urls[i]]
-            keep[i] = w[0] != "__CLONE__" and tss[i] == w[0]
-        return batch.filter(pa.array(keep, pa.bool_()))
+        win_ts = pc.take(tss, idx).cast(batch["warc_ts"].type)
+        is_clone = pc.take(clones, idx)
+        verdict = pc.and_kleene(
+            pc.equal(batch["warc_ts"], win_ts), pc.invert(is_clone)
+        )
+        keep = pc.fill_null(pc.or_kleene(pc.is_null(idx), verdict), False)
+        return batch.filter(keep)
 
     return fn
