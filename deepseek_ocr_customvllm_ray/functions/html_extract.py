@@ -55,38 +55,46 @@ _WS_RE = re.compile(r"\s+")
 
 
 class Node:
-    __slots__ = ("tag", "attrs", "children", "parent")
+    __slots__ = ("tag", "attrs", "children", "parent", "_text", "_linklen")
 
     def __init__(self, tag: str, attrs: dict, parent: "Optional[Node]"):
         self.tag = tag
         self.attrs = attrs
         self.children: list = []  # Node or str (text)
         self.parent = parent
+        self._text: Optional[str] = None  # memo: tree is frozen after parse
+        self._linklen: Optional[int] = None
 
     # -- text accounting ---------------------------------------------------
 
     def text(self) -> str:
-        """Whitespace-normalized text of the subtree."""
-        parts: List[str] = []
-        self._collect_text(parts)
-        return _WS_RE.sub(" ", " ".join(parts)).strip()
+        """Whitespace-normalized text of the subtree — MEMOIZED.
 
-    def _collect_text(self, parts: List[str]) -> None:
-        for c in self.children:
-            if isinstance(c, str):
-                parts.append(c)
-            else:
-                c._collect_text(parts)
+        Scoring visits every candidate ancestor of a node, so the uncached
+        version re-walked each subtree once per ancestor (quadratic in
+        nesting depth; measured as the top non-suppressor cost of the
+        flagship run).  Child texts compose exactly: joining normalized
+        child texts with single spaces and re-normalizing equals
+        normalizing the flat fragment join, because ``\\s+`` collapse and
+        edge-strip commute with concatenation."""
+        if self._text is None:
+            parts = [
+                c if isinstance(c, str) else c.text() for c in self.children
+            ]
+            self._text = _WS_RE.sub(" ", " ".join(parts)).strip()
+        return self._text
 
     def link_text_len(self) -> int:
-        n = 0
-        for c in self.children:
-            if isinstance(c, Node):
-                if c.tag == "a":
-                    n += len(c.text())
-                else:
-                    n += c.link_text_len()
-        return n
+        if self._linklen is None:
+            n = 0
+            for c in self.children:
+                if isinstance(c, Node):
+                    if c.tag == "a":
+                        n += len(c.text())
+                    else:
+                        n += c.link_text_len()
+            self._linklen = n
+        return self._linklen
 
     def iter_nodes(self):
         yield self

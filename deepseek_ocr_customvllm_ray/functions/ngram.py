@@ -38,8 +38,12 @@ def _has_potential_repeat(tokens: Sequence[str], ngram_size: int, window_size: i
     T = len(tokens)
     if P < 1 or T < ngram_size:
         return T >= ngram_size  # ngram_size == 1 has its own loop: no claim
-    _, ids = np.unique(np.asarray(tokens, dtype=object), return_inverse=True)
-    ids = ids.astype(np.uint64)
+    # token ids via C-level hash(): equal tokens always hash equal (the
+    # property the detector needs); a 64-bit collision merely over-flags.
+    # np.unique on an object array measured ~10x slower (string sorting).
+    ids = np.fromiter((hash(t) for t in tokens), dtype=np.int64, count=T).view(
+        np.uint64
+    )
     powers = np.uint64(1099511628211) ** np.arange(P - 1, -1, -1, dtype=np.uint64)
     grams = np.lib.stride_tricks.sliding_window_view(ids, P)
     H = grams @ powers  # uint64 wraparound poly hash per (n-1)-gram
