@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_median_chars": q.q_source_median_chars,
         "distinct_langs_per_source": q.q_distinct_langs_per_source,
         "lineitem_open_orders": q.q_lineitem_open_orders,
+        "orders_customer_join": q.q_orders_customer_join,
         "events_last_order": q.q_events_last_order,
         "events_recent_orders": q.q_events_recent_orders,
         "top20_longest_docs": q.q_top20_longest_docs,
@@ -186,6 +187,11 @@ def oracle_sql() -> dict[str, str]:
         "distinct_langs_per_source": (
             "SELECT source, count(DISTINCT lang) AS n_langs "
             "FROM documents GROUP BY source"
+        ),
+        "orders_customer_join": (
+            "SELECT o_orderkey, c_mktsegment, "
+            "CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents "
+            "FROM orders JOIN customer ON o_custkey = c_custkey"
         ),
         "events_last_order": (
             "SELECT e.event_id, o.o_orderdate AS last_order_date "

@@ -564,6 +564,34 @@ def q_top_customers(sf_dir: str):
     return agg.sort("revenue_cents", descending=True).limit(10)
 
 
+def q_orders_customer_join(sf_dir: str):
+    """Distributed equi-join (shuffle hash join): the non-broadcast scale
+    path of J1 — per-order row-level join to the customer dimension
+    (broadcast joins like ``q_top_customers`` stop working when the
+    dimension side outgrows worker heap; this path only ever co-locates
+    one key's rows)."""
+    from ..stages.joins import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    out = hash_join(
+        orders, cust, "o_custkey", "c_custkey",
+        left_cols=["o_orderkey", "o_totalprice"],
+        right_cols=["c_mktsegment"],
+        how="inner",
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64())
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+            "c_mktsegment": batch["c_mktsegment"],
+            "price_cents": cents,
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def q_events_sessionize(sf_dir: str):
     """Session windows (30-min inactivity gap) per user — the stream-shaped
     operator (SURVEY §2.10 analog): events as an ordered, partitioned log,

@@ -245,6 +245,106 @@ def range_join_count(
     return out.map_batches(strip_prefix, batch_format="pyarrow")
 
 
+def hash_join(
+    left_ds,
+    right_ds,
+    left_key: str,
+    right_key: str,
+    left_cols: List[str],
+    right_cols: List[str],
+    how: str = "inner",
+    num_partitions: int = 32,
+):
+    """Distributed equi-join (shuffle hash join) — the scale path when the
+    small side no longer fits a ``ray.put`` broadcast (the pipelines'
+    default for dimension-table joins, e.g. ``q_top_customers``).
+
+    Same tagged-union co-partition pattern as :func:`asof_join`: tag each
+    side, union into one stream, hash-partition on the int64 key so both
+    sides of a key co-locate, then ONE vectorized ``pandas.merge`` per
+    partition.  One all-to-all total; neither side is materialized on the
+    driver.  SQL semantics: null keys never match (null-key right rows are
+    dropped at the map; null-key left rows are dropped for ``inner`` and
+    emitted null-padded for ``left``); duplicate keys produce the full
+    cross product within the key, exactly as SQL.
+
+    Caveat (shared with :func:`asof_join`): the union pads the other
+    side's columns with nulls, which routes int64 payload columns through
+    pandas float64 inside the resolve stage — exact for |v| < 2^53; the
+    output edge casts back to the declared Arrow types.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"hash_join supports 'inner'/'left', got {how!r}")
+    left_types = {c: _coltype(left_ds, c) for c in left_cols}
+    right_types = {c: _coltype(right_ds, c) for c in right_cols}
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        if how == "inner":
+            batch = batch.filter(pc.is_valid(batch[left_key]))
+        cols = {
+            "_key": batch[left_key].cast(pa.int64()),
+            "_side": pa.array(["L"] * batch.num_rows, pa.string()),
+        }
+        for c in left_cols:
+            cols[f"l_{c}"] = batch[c]
+        for c, t in right_types.items():
+            cols[f"r_{c}"] = pa.nulls(batch.num_rows, t)
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch[right_key]))
+        cols = {
+            "_key": batch[right_key].cast(pa.int64()),
+            "_side": pa.array(["R"] * batch.num_rows, pa.string()),
+        }
+        for c, t in left_types.items():
+            cols[f"l_{c}"] = pa.nulls(batch.num_rows, t)
+        for c in right_cols:
+            cols[f"r_{c}"] = batch[c]
+        return pa.table(cols)
+
+    unioned = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow")
+    )
+    parted = with_hash_partition_int(unioned, "_key", num_partitions)
+
+    l_out = [f"l_{c}" for c in left_cols]
+    r_out = [f"r_{c}" for c in right_cols]
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        is_l = df["_side"] == "L"
+        null_left = df[is_l & df["_key"].isna()]  # only present when how=left
+        left = df[is_l & df["_key"].notna()]
+        right = df[~is_l]
+        parts = []
+        if not left.empty:
+            if right.empty:
+                if how == "left":
+                    parts.append(left[l_out + r_out])
+            else:
+                merged = left[["_key"] + l_out].merge(
+                    right[["_key"] + r_out], on="_key", how=how
+                )
+                parts.append(merged[l_out + r_out])
+        if how == "left" and not null_left.empty:
+            parts.append(null_left[l_out + r_out])
+        if not parts:
+            return df[l_out + r_out].iloc[0:0]
+        return pd.concat(parts, ignore_index=True)
+
+    out = parted.groupby("_part").map_groups(resolve, batch_format="pandas")
+
+    def strip_prefix(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for c, t in left_types.items():
+            cols[c] = batch[f"l_{c}"].cast(t)
+        for c, t in right_types.items():
+            cols[c] = batch[f"r_{c}"].cast(t)
+        return pa.table(cols)
+
+    return out.map_batches(strip_prefix, batch_format="pyarrow")
+
+
 def _coltype(ds, col: str) -> pa.DataType:
     schema = ds.schema()
     return schema.base_schema.field(col).type if hasattr(schema, "base_schema") else schema.field(col).type

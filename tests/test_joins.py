@@ -3,6 +3,7 @@
 import datetime as dt
 
 import pyarrow as pa
+import pytest
 
 
 def _mk(rows, schema):
@@ -95,6 +96,72 @@ class TestAsofJoin:
                 "key", "key", "ts", "rts", ["event_id"], ["val"], num_partitions=2,
             ).to_pandas()
             assert out["val"].iloc[0] == "b"  # max by value columns
+
+
+class TestHashJoin:
+    def _tables(self):
+        left = pa.table({
+            "lid": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "k": pa.array([10, 10, 20, 30, None], pa.int64()),
+            "lv": pa.array([100, 200, 300, 400, 500], pa.int64()),
+        })
+        right = pa.table({
+            "k": pa.array([10, 10, 20, 40, None], pa.int64()),
+            "rv": ["a", "b", "c", "d", "never"],
+        })
+        return left, right
+
+    def test_inner_cross_product_and_null_keys(self, ray_session):
+        import ray.data as rd
+
+        from deepseek_ocr_customvllm_ray.stages.joins import hash_join
+
+        left, right = self._tables()
+        out = (
+            hash_join(
+                rd.from_arrow(left), rd.from_arrow(right), "k", "k",
+                left_cols=["lid", "lv"], right_cols=["rv"],
+                how="inner", num_partitions=4,
+            )
+            .to_pandas().sort_values(["lid", "rv"]).reset_index(drop=True)
+        )
+        got = list(zip(out["lid"].astype(int), out["rv"]))
+        # key 10 appears 2x2 (SQL cross product within key); key 30 and the
+        # null keys on both sides never match
+        assert got == [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "c")]
+        assert out["lv"].dtype == "int64"  # cast back from the union padding
+
+    def test_left_keeps_unmatched_and_null_key_rows(self, ray_session):
+        import ray.data as rd
+
+        from deepseek_ocr_customvllm_ray.stages.joins import hash_join
+
+        left, right = self._tables()
+        out = (
+            hash_join(
+                rd.from_arrow(left), rd.from_arrow(right), "k", "k",
+                left_cols=["lid"], right_cols=["rv"],
+                how="left", num_partitions=4,
+            )
+            .to_pandas().sort_values(["lid", "rv"]).reset_index(drop=True)
+        )
+        by_lid = out.groupby("lid")["rv"].apply(list).to_dict()
+        assert sorted(by_lid[1]) == ["a", "b"]
+        assert by_lid[3] == ["c"]
+        assert by_lid[4] == [None]  # unmatched left row kept
+        assert by_lid[5] == [None]  # null-key left row kept (SQL LEFT JOIN)
+
+    def test_bad_how_rejected(self, ray_session):
+        import ray.data as rd
+
+        from deepseek_ocr_customvllm_ray.stages.joins import hash_join
+
+        left, right = self._tables()
+        with pytest.raises(ValueError):
+            hash_join(
+                rd.from_arrow(left), rd.from_arrow(right), "k", "k",
+                left_cols=["lid"], right_cols=["rv"], how="outer",
+            )
 
 
 class TestRangeJoinCount:
