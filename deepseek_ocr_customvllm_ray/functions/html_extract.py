@@ -81,7 +81,10 @@ class Node:
             parts = [
                 c if isinstance(c, str) else c.text() for c in self.children
             ]
-            self._text = _WS_RE.sub(" ", " ".join(parts)).strip()
+            # " ".join(s.split()) == _WS_RE.sub(" ", s).strip(): both
+            # collapse whitespace runs and drop edges, but split/join is
+            # C-level and ~3x cheaper than the regex pass
+            self._text = " ".join(" ".join(parts).split())
         return self._text
 
     def link_text_len(self) -> int:
@@ -256,7 +259,7 @@ def _emit_markdown(node: Node, out: List[str], depth: int = 0) -> None:
 
     def flush() -> None:
         if stray:
-            t = _WS_RE.sub(" ", " ".join(stray)).strip()
+            t = " ".join(" ".join(stray).split())  # == _WS_RE collapse+strip
             if t:
                 out.append(t)
             stray.clear()

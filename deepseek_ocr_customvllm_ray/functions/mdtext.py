@@ -208,12 +208,18 @@ def merge_clean_pages(page_contents: Sequence[str]) -> str:
 
 _DATE_RE = re.compile(r"(\d{1,2}/\d{1,2}/\d{4})")
 _LETTER_DIGIT_RE = re.compile(r"([a-zA-Z])(\d)")
+_HAS_DIGIT_RE = re.compile(r"\d")
 
 
 def apply_regex_heuristics(text: str) -> str:
     """Date-split / letter-digit-split paragraph normalizer
     (utils.py:164-183, byte-exact)."""
     if not text or not text.strip():
+        return text
+    if not _HAS_DIGIT_RE.search(text):
+        # both heuristics require a digit (date match; letter-digit sub is
+        # the identity without one) — one cheap scan skips two regex passes
+        # on the common digit-free paragraph
         return text
     m = _DATE_RE.search(text)
     if m:

@@ -40,10 +40,10 @@ def _has_potential_repeat(tokens: Sequence[str], ngram_size: int, window_size: i
         return T >= ngram_size  # ngram_size == 1 has its own loop: no claim
     # token ids via C-level hash(): equal tokens always hash equal (the
     # property the detector needs); a 64-bit collision merely over-flags.
-    # np.unique on an object array measured ~10x slower (string sorting).
-    ids = np.fromiter((hash(t) for t in tokens), dtype=np.int64, count=T).view(
-        np.uint64
-    )
+    # np.unique on an object array measured ~10x slower (string sorting);
+    # list(map(...)) beats an np.fromiter generator by ~3x (no per-item
+    # generator resume).
+    ids = np.array(list(map(hash, tokens)), dtype=np.int64).view(np.uint64)
     powers = np.uint64(1099511628211) ** np.arange(P - 1, -1, -1, dtype=np.uint64)
     grams = np.lib.stride_tricks.sliding_window_view(ids, P)
     H = grams @ powers  # uint64 wraparound poly hash per (n-1)-gram
