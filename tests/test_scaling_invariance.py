@@ -66,7 +66,9 @@ sys.path.insert(0, %(repo)r)
 from deepseek_ocr_customvllm_ray.pipelines import queries as q
 out = {}
 for name in ("q_minhash_clusters", "q_ngram_jaccard_pairs", "q_simhash_signatures",
-             "q_bpe_token_counts", "q_knn_ivf", "q_events_recent_orders"):
+             "q_bpe_token_counts", "q_knn_ivf", "q_events_recent_orders",
+             "q_simhash_pairs", "q_embedding_near_dups",
+             "q_approx_distinct_texts", "q_orders_customer_join"):
     res = getattr(q, name)(%(sf)r)
     df = res.to_pandas() if hasattr(res, "to_pandas") else res
     df = df[sorted(df.columns)]
