@@ -182,6 +182,25 @@ class TestDistributedClusters:
         assert {n: got[n] for n in (1, 2, 3, 4, 5)} == {n: 1 for n in (1, 2, 3, 4, 5)}
         assert {n: got[n] for n in (10, 11, 12)} == {n: 10 for n in (10, 11, 12)}
 
+    def test_propagate_long_chain_pointer_jumping(self, ray_session):
+        """A 64-link path graph (diameter 64) converges within the default
+        max_rounds=30: pointer jumping (labels re-entering as label->node
+        shortcut edges) cuts rounds to O(log diameter).  Pre-round-3,
+        plain neighbor propagation needed ~64 rounds and raised."""
+        import ray.data as rd
+
+        n = 65
+        pairs = pa.table({
+            "id_a": pa.array(list(range(1, n)), pa.int64()),
+            "id_b": pa.array(list(range(2, n + 1)), pa.int64()),
+        })
+        labels = dedup.propagate_min_labels(
+            rd.from_arrow(pairs), num_partitions=4, max_rounds=30
+        )
+        got = labels.to_pandas()
+        assert len(got) == n
+        assert (got["label"] == 1).all()
+
 
 class TestNgramJaccardVerify:
     def test_matches_serial_jaccard(self, ray_session):
