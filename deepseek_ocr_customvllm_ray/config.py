@@ -77,3 +77,13 @@ class ExtractConfig:
     #                 payload-length read either way).
     winners_strategy: str = "auto"
     winners_local_max_rows: int = 10_000_000
+    # Dedup exchange for the page-exploded/fused pipelines:
+    # "broadcast" — meta-only winner resolution over the validated stream +
+    #               broadcast filter; payload rows never cross an all-to-all
+    #               (the upstream read+route executes twice: once for the
+    #               thin meta view, once for the filter pass — measured far
+    #               cheaper than sorting payload bytes);
+    # "shuffle"   — hash-partition payload rows by url, partition-local
+    #               keep-earliest; ONE pass over the input, for upstreams
+    #               too expensive to recompute.
+    page_dedup_strategy: str = "broadcast"

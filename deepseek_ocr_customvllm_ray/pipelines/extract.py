@@ -4,7 +4,12 @@
 
     read(pages parquet, columns pruned)          # S1
       -> map_batches(route/validate)             # S1 validation, %PDF routing
-      -> groupby(url).map_groups(keep_earliest)  # dedup guard  [shuffle 1: url]
+      -> dedup guard                             # cfg.page_dedup_strategy:
+                                                 #   "broadcast" (default) =
+                                                 #   meta winners + filter, no
+                                                 #   payload all-to-all;
+                                                 #   "shuffle" = groupby(url)
+                                                 #   keep-earliest exchange
       -> map_batches(explode_documents)          # S2 page explode (skew break);
                                                  #   html docs = 1 logical page
       -> map_batches(MockOcrEngine, concurrency=N, batch_size=B)  # A1-A5 actor pool
@@ -14,12 +19,14 @@
 
 Scale notes (100 TB design):
 - the read prunes to the 4 needed columns; row filters push to row groups;
-- the dedup shuffle moves doc rows once, BEFORE page explosion multiplies
-  data volume;
+- the dedup guard runs BEFORE page explosion multiplies data volume; the
+  default broadcast strategy never ships payload bytes through an
+  all-to-all (stages/dedup_url.dedup_by_url_broadcast);
 - page explode converts doc-size skew into uniform page-row units; the OCR
   actor pool's ``batch_size`` bounds per-task memory like ``max_num_seqs``;
-- both shuffles key on ``url`` so the merge can reuse the dedup partitioning
-  (same key, same hash);
+- the page->doc merge is the one remaining all-to-all (page rows keyed on
+  url); with ``page_dedup_strategy="shuffle"`` both exchanges share the
+  same key and hash so the merge can reuse the dedup partitioning;
 - nothing materializes the full dataset — callers consume by writing or
   aggregating.
 """
@@ -29,7 +36,7 @@ from __future__ import annotations
 from typing import Optional
 
 from ..config import ExtractConfig
-from ..stages.dedup_url import dedup_by_url
+from ..stages.dedup_url import dedup_by_url, dedup_by_url_broadcast
 from ..stages.ocr_stage import (
     MockOcrEngine,
     explode_documents,
@@ -65,7 +72,10 @@ def build_extract_pipeline(ds, cfg: ExtractConfig = None, dedup: bool = True,
 
     ds = ds.map_batches(make_route_batch(cfg.max_payload_mb), batch_format="pyarrow")
     if dedup:
-        ds = dedup_by_url(ds, num_partitions=cfg.shuffle_partitions)
+        if cfg.page_dedup_strategy == "broadcast":
+            ds = dedup_by_url_broadcast(ds, max_payload_mb=cfg.max_payload_mb)
+        else:
+            ds = dedup_by_url(ds, num_partitions=cfg.shuffle_partitions)
 
     explode = (
         make_explode_documents(renderer) if renderer is not None else explode_documents

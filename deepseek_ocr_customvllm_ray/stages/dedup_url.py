@@ -62,3 +62,48 @@ def dedup_by_url(ds, num_partitions: int = 64):
 
     ds = with_hash_partition(ds, "url", num_partitions)
     return ds.groupby("_part").map_groups(dedup_block, batch_format="pandas")
+
+
+def dedup_by_url_broadcast(ds, max_payload_mb: int = 200):
+    """Shuffle-free twin of :func:`dedup_by_url` for an already-ROUTED
+    stream: payload rows never cross an all-to-all.
+
+    1. meta pass: project ONLY (url, warc_ts) off the lazy routed stream
+       (the route stage already applied the shared validity predicate, so
+       the bare projection IS the validated meta view) and resolve
+       duplicate-url winners with ``dedup_meta.compute_dup_winners`` — one
+       thin hash-partitioned exchange of key/ts rows;
+    2. broadcast the winner arrays (``ray.put`` once, read per task);
+    3. filter pass: the SAME lazy upstream re-executes under the vectorized
+       winner predicate; exact-clone urls re-join as their single canonical
+       row.
+
+    Trade-off vs the shuffle path: the upstream read+route executes twice
+    (meta pass + filter pass), but the meta view is two thin columns —
+    measured far cheaper than hash-partition-sorting payload bytes (the
+    payload dedup exchange is ~30 s of the page-exploded flagship wall on
+    the bench corpus).  Pick ``page_dedup_strategy="shuffle"`` when the
+    upstream is too expensive to run twice (e.g. a decompression-heavy
+    source)."""
+    import ray
+    import ray.data as rd
+
+    from .dedup_meta import (
+        compute_dup_winners,
+        make_winner_filter,
+        winners_to_arrays,
+    )
+
+    meta_ds = ds.select_columns(["url", "warc_ts"])
+    winners, clone_rows = compute_dup_winners(
+        meta_ds, payload_ds=ds, max_payload_mb=max_payload_mb
+    )
+    if not winners:
+        return ds
+    winners_ref = ray.put(winners_to_arrays(winners))
+    out = ds.map_batches(make_winner_filter(winners_ref), batch_format="pyarrow")
+    if clone_rows is not None:
+        # canonical rows for exact-clone urls (already routed — they were
+        # sliced from this same stream's batches) rejoin after the filter
+        out = out.union(rd.from_arrow(clone_rows))
+    return out

@@ -202,6 +202,77 @@ def test_maponly_clone_rows(ray_session, tmp_path):
     assert sorted(out["url"]) == ["https://a/x", "https://a/y"]
 
 
+def test_page_dedup_strategies_byte_identical(ray_session, corpus, golden):
+    """The exploded pipeline's two dedup strategies (broadcast meta-winner
+    filter vs url-keyed payload shuffle) produce byte-identical documents.
+    The module fixtures already run the default (broadcast); this pins the
+    shuffle path against the same golden."""
+    import ray.data as rd
+
+    gdf = golden.to_pandas().sort_values("url").reset_index(drop=True)
+    sh = (
+        build_extract_pipeline(
+            rd.from_arrow(corpus),
+            ExtractConfig(ocr_concurrency=2, page_dedup_strategy="shuffle"),
+        )
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    assert gdf["url"].tolist() == sh["url"].tolist()
+    for col in ["markdown", "extracted_text", "raw_md", "doc_json", "n_pages"]:
+        assert gdf[col].tolist() == sh[col].tolist(), col
+
+
+def test_broadcast_page_dedup_ties_clones_shadow(ray_session):
+    """Edge families through the exploded pipeline's BROADCAST dedup:
+    sha tie-break at equal earliest ts, exact-clone collapse, and an
+    invalid earliest crawl that must not shadow the later valid one —
+    each matching the golden driver."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    def body(tag):
+        return (
+            f"<html><body><div id=m><p>broadcast dedup body {tag}, long enough "
+            f"to extract properly indeed.</p></div></body></html>"
+        ).encode()
+
+    T0 = dt.datetime(2026, 1, 1)
+    rows = [
+        # sha tie-break: two payloads at the same earliest ts + a later loser
+        ("https://b/tie", T0, body("tie-a")),
+        ("https://b/tie", T0, body("tie-b")),
+        ("https://b/tie", dt.datetime(2026, 2, 1), body("tie-late")),
+        # exact clones: identical (url, ts, payload) x3
+        ("https://b/clone", T0, body("clone")),
+        ("https://b/clone", T0, body("clone")),
+        ("https://b/clone", T0, body("clone")),
+        # shadow: earliest crawl is EMPTY (invalid), later crawl valid
+        ("https://b/shadow", T0, b""),
+        ("https://b/shadow", dt.datetime(2026, 3, 1), body("shadow-valid")),
+        # a singleton for good measure
+        ("https://b/solo", T0, body("solo")),
+    ]
+    t = pa.table({
+        "url": [r[0] for r in rows],
+        "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "html": pa.array([r[2] for r in rows], pa.binary()),
+        "text": [""] * len(rows),
+        "lang": ["en"] * len(rows),
+    })
+    gdf = run_golden(t).to_pandas().sort_values("url").reset_index(drop=True)
+    out = (
+        build_extract_pipeline(
+            rd.from_arrow(t),
+            ExtractConfig(ocr_concurrency=2, page_dedup_strategy="broadcast"),
+        )
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    assert out["url"].tolist() == gdf["url"].tolist()
+    assert out["extracted_text"].tolist() == gdf["extracted_text"].tolist()
+    assert out["markdown"].tolist() == gdf["markdown"].tolist()
+
+
 def test_determinism_rerun(ray_session, corpus):
     """Same input, fresh pipeline -> byte-identical output (retry safety)."""
     import ray.data as rd
