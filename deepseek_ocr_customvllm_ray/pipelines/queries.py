@@ -94,7 +94,11 @@ def q_extract_html(sf_dir: str):
     """HTML branch round-trip: boilerplate-wrapped text -> extracted_text."""
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     pages = ds.map_batches(docs_as_html_pages, batch_format="pyarrow")
-    out = build_extract_pipeline(pages, ExtractConfig(ocr_concurrency=2))
+    # shuffle dedup: the upstream synthesizes payloads per row, so the
+    # broadcast strategy's second upstream pass costs more than the small
+    # payload exchange saves (see ExtractConfig.page_dedup_strategy).
+    cfg = ExtractConfig(ocr_concurrency=2, page_dedup_strategy="shuffle")
+    out = build_extract_pipeline(pages, cfg)
     return out.select_columns(["url", "extracted_text"])
 
 
@@ -103,7 +107,10 @@ def q_extract_pdf_markdown(sf_dir: str):
     transform is SQL-expressible)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     pages = ds.map_batches(docs_as_pdf_pages, batch_format="pyarrow")
-    cfg = ExtractConfig(ngram_suppress=False, ocr_concurrency=2)
+    # shuffle dedup: synthesized upstream, see q_extract_html
+    cfg = ExtractConfig(
+        ngram_suppress=False, ocr_concurrency=2, page_dedup_strategy="shuffle"
+    )
     out = build_extract_pipeline(pages, cfg)
     return out.select_columns(["url", "markdown"])
 
