@@ -74,6 +74,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top20_longest_docs": q.q_top20_longest_docs,
         "union_distinct_keys": q.q_union_distinct_keys,
         "approx_distinct_texts": q.q_approx_distinct_texts,
+        # training-data ops: sampling / redaction / term stats / packing
+        "sample_documents": q.q_sample_documents,
+        "stratified_sample": q.q_stratified_sample,
+        "pii_redaction": q.q_pii_redaction,
+        "word_frequencies": q.q_word_frequencies,
+        "pack_sequences": q.q_pack_sequences,
     }
 
 
@@ -219,6 +225,53 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey AS k FROM customer "
             "UNION ALL SELECT CAST(s_suppkey AS BIGINT) FROM supplier)"
         ),
+        "sample_documents": (
+            # identical md5 digests on both sides: stages/sampling.py
+            # thresholds fraction*16^8 on the first 8 hex chars
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) "
+            "< '19999999'"
+        ),
+        "stratified_sample": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) < "
+            "CASE lang WHEN 'en' THEN '4ccccccc' WHEN 'de' THEN '26666666' "
+            "ELSE '0ccccccc' END"
+        ),
+        "pii_redaction": (
+            # same deterministic PII tail + the same RE2 patterns as
+            # stages/redact.py (counts taken at the same stage of the
+            # replacement chain as the engine takes them)
+            "WITH aug AS (SELECT doc_id, text || ' contact user' || "
+            "CAST(doc_id AS VARCHAR) || '@mail.example.com from 10.' || "
+            "CAST(doc_id % 200 AS VARCHAR) || '.7.1 call 555-' || "
+            "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || "
+            "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' end' AS t "
+            "FROM documents), "
+            "r1 AS (SELECT doc_id, "
+            "CAST(length(regexp_extract_all(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) "
+            "AS n_emails, "
+            "regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'<EMAIL>', 'g') AS t1 FROM aug), "
+            "r2 AS (SELECT doc_id, n_emails, "
+            "CAST(length(regexp_extract_all(t1, "
+            "'\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT) AS n_ips, "
+            "regexp_replace(t1, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', "
+            "'<IP>', 'g') AS t2 FROM r1) "
+            "SELECT doc_id, "
+            "regexp_replace(t2, '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', "
+            "'<PHONE>', 'g') AS redacted, n_emails, n_ips, "
+            "CAST(length(regexp_extract_all(t2, "
+            "'\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b')) AS BIGINT) AS n_phones "
+            "FROM r2"
+        ),
+        "word_frequencies": (
+            "SELECT token, count(*) AS n FROM ("
+            "SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token "
+            "FROM documents WHERE trim(text) <> '') "
+            "GROUP BY token ORDER BY n DESC, token LIMIT 50"
+        ),
         # Golden-snapshot oracles: hashing/heuristic ops (simhash, langid,
         # fingerprints, MinHash clusters, IVF knn, n-gram Jaccard) are
         # deterministic, parallelism-invariant pure functions of the input
@@ -273,6 +326,12 @@ def oracle_sql() -> dict[str, str]:
             # is a deterministic pure function of the input (fixed hash,
             # fixed p, merge-order-free registers) — snapshot-pinnable
             "SELECT * FROM read_parquet('/root/repo/golden/approx_distinct_texts.parquet')"
+        ),
+        "pack_sequences": (
+            # greedy sequential fill is not SQL-expressible; the output is a
+            # parallelism-invariant pure function of the input (id-range
+            # partitioning), so it snapshot-pins like the ops above
+            "SELECT * FROM read_parquet('/root/repo/golden/pack_sequences.parquet')"
         ),
     }
 

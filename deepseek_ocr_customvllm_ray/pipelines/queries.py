@@ -875,3 +875,77 @@ def q_events_hourly(sf_dir: str):
             Sum("value_cents", alias_name="sum_value_cents"),
         )
     )
+
+
+# --- training-data ops: sampling / redaction / term stats / packing -------
+
+
+def q_sample_documents(sf_dir: str):
+    """Deterministic 10% uniform sample (md5 threshold; map-only, no
+    shuffle; DuckDB recomputes the identical digests for the oracle)."""
+    from ..stages.sampling import hash_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return hash_sample(ds, "doc_id", fraction=0.1, seed=42)
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-language sampling rates (30% en, 15% de, 5% everything else) —
+    the rebalancing step of a multilingual training mix."""
+    from ..stages.sampling import stratified_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_sample(
+        ds, "doc_id", "lang", {"en": 0.3, "de": 0.15},
+        default_fraction=0.05, seed=42,
+    )
+
+
+def _pii_augmented(batch: pa.Table) -> pa.Table:
+    """documents rows -> text with a synthetic, doc_id-derived PII tail.
+
+    The corpus text is PII-free by construction, so the redaction query
+    would be vacuous on the raw column; both this adapter and the oracle
+    SQL append the same deterministic email/IP/phone so the kernels are
+    exercised non-vacuously and still independently checkable."""
+    ids = batch["doc_id"].cast(pa.int64())
+    ids_np = ids.to_numpy(zero_copy_only=False)
+    ids_s = ids.cast(pa.string())
+    m200 = pa.array(ids_np % 200).cast(pa.string())
+    m1000 = pc.utf8_lpad(pa.array(ids_np % 1000).cast(pa.string()), 3, "0")
+    m10000 = pc.utf8_lpad(pa.array(ids_np % 10000).cast(pa.string()), 4, "0")
+    txt = pc.binary_join_element_wise(
+        batch["text"], " contact user", ids_s, "@mail.example.com from 10.",
+        m200, ".7.1 call 555-", m1000, "-", m10000, " end",
+        "",
+    )
+    return pa.table({"doc_id": ids, "text": txt})
+
+
+def q_pii_redaction(sf_dir: str):
+    """Scrub emails/IPs/phones and count removals (Arrow RE2 kernels;
+    DuckDB runs the same RE2 patterns for the oracle)."""
+    from ..stages.redact import redact_pii
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    aug = ds.map_batches(_pii_augmented, batch_format="pyarrow")
+    return redact_pii(aug, "text", "doc_id")
+
+
+def q_word_frequencies(sf_dir: str):
+    """Corpus top-50 terms: per-batch partial counts, vocabulary-sized
+    groupby, deterministic (n desc, token) ordering."""
+    ds = _read(sf_dir, "documents", ["text"])
+    return analysis.word_frequencies(ds, "text", top_k=50)
+
+
+def q_pack_sequences(sf_dir: str):
+    """Training sequence packing: 256-token budget, id-range partitioning
+    (parallelism-invariant; greedy fill is not SQL-expressible -> golden
+    snapshot oracle + serial-reference parity in pytest)."""
+    from ..stages.packing import pack_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pack_sequences(
+        ds, max_tokens=256, range_size=200, num_partitions=8
+    )

@@ -78,6 +78,47 @@ def make_fingerprint_batch(text_col: str, id_col: str):
     return fn
 
 
+def make_word_count_partial(text_col: str):
+    """Per-batch partial word counts: split + flatten + ``value_counts``
+    inside the map task, so the downstream ``groupby(token)`` shuffles one
+    row per DISTINCT token per batch instead of one per occurrence — the
+    combiner pattern that keeps a corpus-wide term count feasible at
+    10^12 tokens (shuffle volume scales with vocabulary, not corpus)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch[text_col])
+        nonempty = trimmed.filter(pc.greater(pc.utf8_length(trimmed), 0))
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(nonempty, pattern=r"\s+")
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        vc = toks.value_counts()
+        return pa.table({
+            "token": vc.field("values"),
+            "cnt_p": vc.field("counts").cast(pa.int64()),
+        })
+
+    return fn
+
+
+def word_frequencies(ds, text_col: str, top_k: int | None = None):
+    """``Dataset -> Dataset`` of (token, n) corpus term frequencies.
+
+    Partial counts per batch, one small groupby over the vocabulary, then
+    an optional deterministic top-k (count desc, token asc)."""
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(make_word_count_partial(text_col), batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt_p", alias_name="n"))
+    )
+    if top_k is not None:
+        out = out.sort(["n", "token"], descending=[True, False]).limit(top_k)
+    return out
+
+
 def make_bpe_token_count_batch(text_col: str, id_col: str):
     """Approximate BPE token counts via the GPT-2 pre-tokenizer regex
     (compiled once at module import; not SQL-expressible — the pattern uses

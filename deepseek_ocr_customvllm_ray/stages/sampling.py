@@ -1,0 +1,101 @@
+"""Deterministic corpus sampling — the training-data operator that picks a
+reproducible subset of a crawl without a shuffle or a global pass.
+
+Selection is a pure per-row predicate on ``md5(f"{seed}:{id}")``: keep the
+row iff the first 8 hex chars of the digest compare below a threshold
+derived from the requested fraction.  Properties that matter at 100 TB:
+
+- **map-only**: no shuffle, no global state, no coordination — each block
+  filters independently, so the op composes with any pipeline position;
+- **reproducible**: same (seed, fraction) -> same subset on any cluster
+  shape, any block order, any retry;
+- **consistent across runs**: growing the fraction strictly grows the
+  subset (thresholds nest), so a 1% pilot sample is a subset of the 10%
+  production sample;
+- **oracle-friendly**: DuckDB's ``md5(CAST(id AS VARCHAR))`` produces the
+  identical digest, making the operator independently SQL-checkable.
+
+The effective rate quantizes to 1/2^32 granularity (8 hex chars).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: number of leading hex chars compared against the threshold
+_PREFIX = 8
+
+
+def _threshold_hex(fraction: float) -> str:
+    """fraction in [0, 1] -> 8-hex-char exclusive upper bound."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return format(min(int(fraction * 16**_PREFIX), 16**_PREFIX - 1), f"0{_PREFIX}x")
+
+
+def _digests(ids, seed: int) -> pa.Array:
+    """8-hex-char md5 prefixes of ``f"{seed}:{id}"`` (hashlib runs the md5
+    rounds in C; the per-row loop is only string formatting)."""
+    pre = f"{seed}:".encode()
+    return pa.array(
+        [hashlib.md5(pre + str(i).encode()).hexdigest()[:_PREFIX] for i in ids],
+        pa.string(),
+    )
+
+
+def make_hash_sample_batch(id_col: str, fraction: float, seed: int = 42):
+    """``map_batches`` filter: keep rows whose id-digest falls below the
+    fraction threshold.  All columns pass through."""
+    thr = _threshold_hex(fraction)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        digs = _digests(batch[id_col].to_pylist(), seed)
+        return batch.filter(pc.less(digs, thr))
+
+    return fn
+
+
+def hash_sample(ds, id_col: str, fraction: float, seed: int = 42):
+    """``Dataset -> Dataset`` deterministic uniform sample (map-only)."""
+    return ds.map_batches(
+        make_hash_sample_batch(id_col, fraction, seed), batch_format="pyarrow"
+    )
+
+
+def make_stratified_sample_batch(
+    id_col: str, stratum_col: str, fractions: dict[str, float],
+    default_fraction: float = 0.0, seed: int = 42,
+):
+    """Per-stratum sampling rates (e.g. keep 30% of ``en`` docs, 5% of the
+    rest): the stratum column selects the threshold, the id digest decides.
+    Thresholds are resolved vectorized (``index_in`` + ``take``); strata
+    absent from ``fractions`` use ``default_fraction``."""
+    strata = pa.array(list(fractions), pa.string())
+    thresholds = pa.array(
+        [_threshold_hex(f) for f in fractions.values()], pa.string()
+    )
+    default_thr = _threshold_hex(default_fraction)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch[stratum_col], strata)
+        thr = pc.fill_null(pc.take(thresholds, idx), default_thr)
+        digs = _digests(batch[id_col].to_pylist(), seed)
+        return batch.filter(pc.less(digs, thr))
+
+    return fn
+
+
+def stratified_sample(
+    ds, id_col: str, stratum_col: str, fractions: dict[str, float],
+    default_fraction: float = 0.0, seed: int = 42,
+):
+    """``Dataset -> Dataset`` deterministic stratified sample (map-only)."""
+    return ds.map_batches(
+        make_stratified_sample_batch(
+            id_col, stratum_col, fractions, default_fraction, seed
+        ),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,109 @@
+"""Deterministic hash sampling (stages/sampling.py)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from deepseek_ocr_customvllm_ray.stages.sampling import (
+    _threshold_hex,
+    hash_sample,
+    make_hash_sample_batch,
+    make_stratified_sample_batch,
+    stratified_sample,
+)
+
+
+def _tbl(n=1000):
+    return pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "lang": pa.array(["en", "de", "fr", "zh"][i % 4] for i in range(n)),
+    })
+
+
+def test_threshold_endpoints():
+    assert _threshold_hex(0.0) == "00000000"
+    assert _threshold_hex(1.0) == "ffffffff"
+    assert _threshold_hex(0.1) == "19999999"
+    with pytest.raises(ValueError):
+        _threshold_hex(1.5)
+    with pytest.raises(ValueError):
+        _threshold_hex(-0.1)
+
+
+def test_fraction_zero_and_one():
+    t = _tbl(200)
+    assert make_hash_sample_batch("doc_id", 0.0)(t).num_rows == 0
+    assert make_hash_sample_batch("doc_id", 1.0)(t).num_rows == 200
+
+
+def test_rate_and_determinism():
+    t = _tbl(5000)
+    a = make_hash_sample_batch("doc_id", 0.1, seed=42)(t)
+    b = make_hash_sample_batch("doc_id", 0.1, seed=42)(t)
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    assert abs(a.num_rows / 5000 - 0.1) < 0.02
+    c = make_hash_sample_batch("doc_id", 0.1, seed=7)(t)
+    assert c["doc_id"].to_pylist() != a["doc_id"].to_pylist()
+
+
+def test_fractions_nest():
+    """Growing the fraction grows the subset monotonically (thresholds
+    nest), so a pilot sample is a strict subset of a bigger one."""
+    t = _tbl(3000)
+    small = set(make_hash_sample_batch("doc_id", 0.05)(t)["doc_id"].to_pylist())
+    big = set(make_hash_sample_batch("doc_id", 0.2)(t)["doc_id"].to_pylist())
+    assert small < big
+
+
+def test_stratified_rates_and_default():
+    t = _tbl(4000)  # 1000 per lang
+    out = make_stratified_sample_batch(
+        "doc_id", "lang", {"en": 0.4, "de": 0.1}, default_fraction=0.02
+    )(t)
+    langs = out["lang"].to_pylist()
+    rates = {l: langs.count(l) / 1000 for l in ("en", "de", "fr", "zh")}
+    assert abs(rates["en"] - 0.4) < 0.05
+    assert abs(rates["de"] - 0.1) < 0.03
+    assert rates["fr"] < 0.05 and rates["zh"] < 0.05
+
+
+def test_stratum_changes_threshold_not_digest():
+    """The same doc_id is kept/dropped based on its stratum's threshold but
+    the digest is stratum-independent: a doc kept under the LOW rate is
+    always kept under the HIGH rate."""
+    t = _tbl(2000)
+    low = set(
+        make_stratified_sample_batch("doc_id", "lang", {}, default_fraction=0.05)(t)[
+            "doc_id"
+        ].to_pylist()
+    )
+    high = set(
+        make_stratified_sample_batch("doc_id", "lang", {}, default_fraction=0.3)(t)[
+            "doc_id"
+        ].to_pylist()
+    )
+    assert low < high
+
+
+def test_dataset_paths_match_batch_paths(ray_session):
+    import ray.data as rd
+
+    t = _tbl(1000)
+    got = sorted(
+        hash_sample(rd.from_arrow(t), "doc_id", 0.15).to_pandas()["doc_id"]
+    )
+    want = sorted(make_hash_sample_batch("doc_id", 0.15)(t)["doc_id"].to_pylist())
+    assert got == want
+
+    got_s = sorted(
+        stratified_sample(
+            rd.from_arrow(t).repartition(5), "doc_id", "lang", {"en": 0.5}
+        ).to_pandas()["doc_id"]
+    )
+    want_s = sorted(
+        make_stratified_sample_batch("doc_id", "lang", {"en": 0.5})(t)[
+            "doc_id"
+        ].to_pylist()
+    )
+    assert got_s == want_s

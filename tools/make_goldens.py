@@ -43,6 +43,7 @@ GOLDEN_QUERIES = [
     "image_pipeline",
     "embedding_near_dups",
     "approx_distinct_texts",
+    "pack_sequences",
 ]
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "golden")
