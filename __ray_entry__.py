@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redaction": q.q_pii_redaction,
         "word_frequencies": q.q_word_frequencies,
         "pack_sequences": q.q_pack_sequences,
+        "benchmark_decontam": q.q_benchmark_decontam,
     }
 
 
@@ -271,6 +272,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token "
             "FROM documents WHERE trim(text) <> '') "
             "GROUP BY token ORDER BY n DESC, token LIMIT 50"
+        ),
+        "benchmark_decontam": (
+            # same phrases as queries._BENCHMARK_PHRASES, same substring
+            # semantics (contains == Arrow match_substring)
+            "SELECT doc_id, "
+            "(contains(text, 'slow join') OR contains(text, 'spark spark') "
+            "OR contains(text, 'customer window line')) AS contaminated, "
+            "CAST(contains(text, 'slow join') AS BIGINT) + "
+            "CAST(contains(text, 'spark spark') AS BIGINT) + "
+            "CAST(contains(text, 'customer window line') AS BIGINT) AS n_hits "
+            "FROM documents"
         ),
         # Golden-snapshot oracles: hashing/heuristic ops (simhash, langid,
         # fingerprints, MinHash clusters, IVF knn, n-gram Jaccard) are

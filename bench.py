@@ -148,6 +148,10 @@ def run_bench() -> dict:
     timed("top_customers", q.q_top_customers)
     timed("events_hourly", q.q_events_hourly)
     timed("source_lineage", q.q_source_lineage)
+    timed("sample_documents", q.q_sample_documents)
+    timed("pii_redaction", q.q_pii_redaction)
+    timed("word_frequencies", q.q_word_frequencies)
+    timed("pack_sequences", q.q_pack_sequences)
 
     out = {
         "metric": "extract_e2e_sec",

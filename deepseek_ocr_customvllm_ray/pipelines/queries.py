@@ -949,3 +949,17 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences(
         ds, max_tokens=256, range_size=200, num_partitions=8
     )
+
+
+#: stand-in benchmark phrases for the decontamination query (chosen to hit
+#: a non-vacuous subset of the synthetic corpus)
+_BENCHMARK_PHRASES = ["slow join", "spark spark", "customer window line"]
+
+
+def q_benchmark_decontam(sf_dir: str):
+    """Eval-set contamination flags: broadcast phrase semi-join, map-only
+    (DuckDB checks the same substrings via contains())."""
+    from ..stages.decontam import flag_contaminated
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return flag_contaminated(ds, "text", "doc_id", _BENCHMARK_PHRASES)

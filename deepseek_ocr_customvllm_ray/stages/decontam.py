@@ -1,0 +1,69 @@
+"""Benchmark decontamination — flag / drop documents that contain text from
+an evaluation set, so the training corpus doesn't memorize the benchmark.
+
+The benchmark side is SMALL (thousands of phrases) and the corpus side is
+100 TB, so this is the canonical broadcast semi-join: ship the phrase list
+once (`ray.put` when it's big enough to matter), scan each batch with one
+vectorized Arrow ``match_substring`` kernel per phrase — no shuffle, no
+per-row Python.  Cost is O(K · corpus-bytes) kernel scans; for K beyond a
+few thousand phrases the documented swap is the shingle-hash variant
+(hash the benchmark's n-grams into a set, semi-join doc shingle hashes
+with ``pc.is_in`` — the machinery ``stages/dedup.ngram_jaccard_verify``
+already uses).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def make_contamination_batch(text_col: str, id_col: str, phrases: list[str]):
+    """``map_batches`` fn: (id, contaminated bool, n_hits = how many
+    distinct phrases occur).  Substring semantics, case-sensitive — the
+    same contract as SQL ``contains()`` so the oracle is independent."""
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        hits = np.zeros(len(txt), dtype=np.int64)
+        for p in phrases:
+            hits += np.asarray(
+                pc.match_substring(txt, pattern=p).combine_chunks()
+                if isinstance(txt, pa.ChunkedArray)
+                else pc.match_substring(txt, pattern=p)
+            ).astype(np.int64)
+        return pa.table({
+            id_col: batch[id_col],
+            "contaminated": pa.array(hits > 0),
+            "n_hits": pa.array(hits, pa.int64()),
+        })
+
+    return fn
+
+
+def flag_contaminated(ds, text_col: str, id_col: str, phrases: list[str]):
+    """``Dataset -> Dataset`` of (id, contaminated, n_hits)."""
+    return ds.map_batches(
+        make_contamination_batch(text_col, id_col, phrases),
+        batch_format="pyarrow",
+    )
+
+
+def decontaminate(ds, text_col: str, phrases: list[str]):
+    """``Dataset -> Dataset`` keeping only benchmark-clean rows (all
+    columns pass through; map-only filter)."""
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        keep = None
+        for p in phrases:
+            m = pc.match_substring(txt, pattern=p)
+            keep = m if keep is None else pc.or_(keep, m)
+        return batch.filter(pc.invert(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
