@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_frequencies": q.q_word_frequencies,
         "pack_sequences": q.q_pack_sequences,
         "benchmark_decontam": q.q_benchmark_decontam,
+        "epoch_shuffle": q.q_epoch_shuffle,
     }
 
 
@@ -272,6 +273,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token "
             "FROM documents WHERE trim(text) <> '') "
             "GROUP BY token ORDER BY n DESC, token LIMIT 50"
+        ),
+        "epoch_shuffle": (
+            "SELECT doc_id, substr(md5('42:0:' || CAST(doc_id AS VARCHAR)), "
+            "1, 16) AS shuffle_key FROM documents "
+            "ORDER BY shuffle_key LIMIT 20"
         ),
         "benchmark_decontam": (
             # same phrases as queries._BENCHMARK_PHRASES, same substring

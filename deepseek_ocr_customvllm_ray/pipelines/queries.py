@@ -963,3 +963,13 @@ def q_benchmark_decontam(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return flag_contaminated(ds, "text", "doc_id", _BENCHMARK_PHRASES)
+
+
+def q_epoch_shuffle(sf_dir: str):
+    """First 20 rows of the seed/epoch-deterministic global training
+    shuffle (md5 sort key + distributed range sort; DuckDB recomputes the
+    identical keys and ordering)."""
+    from ..stages.sampling import epoch_shuffle
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return epoch_shuffle(ds, "doc_id", seed=42, epoch=0).limit(20)

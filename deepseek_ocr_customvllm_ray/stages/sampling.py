@@ -99,3 +99,36 @@ def stratified_sample(
         ),
         batch_format="pyarrow",
     )
+
+
+def make_shuffle_key_batch(id_col: str, seed: int = 42, epoch: int = 0,
+                           out_col: str = "shuffle_key"):
+    """Append the 16-hex-char md5 sort key of ``f"{seed}:{epoch}:{id}"``."""
+    pre = f"{seed}:{epoch}:".encode()
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = pa.array(
+            [
+                hashlib.md5(pre + str(i).encode()).hexdigest()[:16]
+                for i in batch[id_col].to_pylist()
+            ],
+            pa.string(),
+        )
+        return batch.append_column(out_col, keys)
+
+    return fn
+
+
+def epoch_shuffle(ds, id_col: str, seed: int = 42, epoch: int = 0):
+    """Deterministic global shuffle for training epochs.
+
+    ``ds.random_shuffle`` is seeded but its output depends on block
+    structure; training-data reproducibility wants a permutation that is a
+    pure function of (seed, epoch, row).  A seeded md5 sort key gives
+    exactly that, and Ray's distributed range sort performs the reorder —
+    one all-to-all, the unavoidable cost of a true global shuffle.  Each
+    epoch is an independent permutation (the key re-derives; nothing is
+    cached or coordinated)."""
+    return ds.map_batches(
+        make_shuffle_key_batch(id_col, seed, epoch), batch_format="pyarrow"
+    ).sort("shuffle_key")

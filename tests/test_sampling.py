@@ -7,6 +7,7 @@ import pytest
 
 from deepseek_ocr_customvllm_ray.stages.sampling import (
     _threshold_hex,
+    epoch_shuffle,
     hash_sample,
     make_hash_sample_batch,
     make_stratified_sample_batch,
@@ -84,6 +85,24 @@ def test_stratum_changes_threshold_not_digest():
         ].to_pylist()
     )
     assert low < high
+
+
+def test_epoch_shuffle_is_permutation(ray_session):
+    """Same rows, new order; the order is a pure function of (seed, epoch)
+    regardless of input block structure; epochs permute independently."""
+    import ray.data as rd
+
+    t = _tbl(400)
+    a = epoch_shuffle(rd.from_arrow(t), "doc_id").to_pandas()
+    assert sorted(a["doc_id"]) == list(range(400))
+    assert a["doc_id"].tolist() != list(range(400))
+    # block structure must not matter
+    b = epoch_shuffle(rd.from_arrow(t).repartition(7), "doc_id").to_pandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    # a different epoch is a different permutation of the same rows
+    e1 = epoch_shuffle(rd.from_arrow(t), "doc_id", epoch=1).to_pandas()
+    assert sorted(e1["doc_id"]) == list(range(400))
+    assert e1["doc_id"].tolist() != a["doc_id"].tolist()
 
 
 def test_dataset_paths_match_batch_paths(ray_session):
