@@ -12,6 +12,11 @@ gen       OUT [--docs N] [--seed S] [--shards K]
           write a synthetic Common-Crawl-style pages corpus.
 golden    IN OUT
           run the sequential golden driver (single process, no Ray).
+query     NAME SF_DIR [-o OUT.parquet]
+          run one named operator pipeline (the ``__ray_entry__.queries()``
+          registry) over a directory of driver-schema parquet tables;
+          print a head sample or write the full result.  ``query list``
+          prints the registry.
 
 This module OWNS its Ray session (guarded init; the driver-facing
 ``__ray_entry__`` never initializes Ray).
@@ -70,6 +75,12 @@ def main(argv=None) -> int:
     p_go.add_argument("input")
     p_go.add_argument("output")
 
+    p_q = sub.add_parser("query")
+    p_q.add_argument("name")
+    p_q.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    p_q.add_argument("-o", "--output", default=None)
+    p_q.add_argument("--num-cpus", type=int, default=8)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "gen":
@@ -91,6 +102,12 @@ def main(argv=None) -> int:
         out = run_golden(table)
         pq.write_table(out, args.output)
         print(f"extracted {out.num_rows} documents -> {args.output}")
+        return 0
+
+    if args.cmd == "query" and args.name == "list":
+        from .pipelines import queries as qmod
+
+        print("\n".join(sorted(n[2:] for n in dir(qmod) if n.startswith("q_"))))
         return 0
 
     ray = _ray_session(args.num_cpus)
@@ -122,6 +139,32 @@ def main(argv=None) -> int:
                 f"completed_before={res['completed_before']} "
                 f"processed={res['processed']} removed_partial={res['removed_partial']}"
             )
+        elif args.cmd == "query":
+            from .pipelines import queries as qmod
+
+            registry = {
+                name[2:]: getattr(qmod, name)
+                for name in dir(qmod)
+                if name.startswith("q_")
+            }
+            if args.name not in registry:
+                print(f"unknown query {args.name!r}; try 'query list'")
+                return 2
+            else:
+                res = registry[args.name](args.sf_dir)
+                df = res.to_pandas() if hasattr(res, "to_pandas") else res
+                if args.output:
+                    import pyarrow as pa
+                    import pyarrow.parquet as pq
+
+                    pq.write_table(
+                        pa.Table.from_pandas(df, preserve_index=False),
+                        args.output,
+                    )
+                    print(f"{len(df)} rows -> {args.output}")
+                else:
+                    print(df.head(20).to_string())
+                    print(f"[{len(df)} rows]")
     finally:
         ray.shutdown()
     return 0
