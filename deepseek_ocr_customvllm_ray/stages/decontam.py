@@ -30,11 +30,12 @@ def make_contamination_batch(text_col: str, id_col: str, phrases: list[str]):
         txt = batch[text_col]
         hits = np.zeros(len(txt), dtype=np.int64)
         for p in phrases:
-            hits += np.asarray(
-                pc.match_substring(txt, pattern=p).combine_chunks()
-                if isinstance(txt, pa.ChunkedArray)
-                else pc.match_substring(txt, pattern=p)
-            ).astype(np.int64)
+            # null text contains nothing -> clean (fill_null keeps the
+            # numpy accumulation int-typed)
+            m = pc.fill_null(pc.match_substring(txt, pattern=p), False)
+            if isinstance(m, pa.ChunkedArray):
+                m = m.combine_chunks()
+            hits += np.asarray(m).astype(np.int64)
         return pa.table({
             id_col: batch[id_col],
             "contaminated": pa.array(hits > 0),
@@ -60,10 +61,12 @@ def decontaminate(ds, text_col: str, phrases: list[str]):
 
     def fn(batch: pa.Table) -> pa.Table:
         txt = batch[text_col]
-        keep = None
+        hit = None
         for p in phrases:
-            m = pc.match_substring(txt, pattern=p)
-            keep = m if keep is None else pc.or_(keep, m)
-        return batch.filter(pc.invert(keep))
+            # fill_null(False): a null text matches nothing, so the row is
+            # KEPT (a bare invert(null)=null would silently drop it)
+            m = pc.fill_null(pc.match_substring(txt, pattern=p), False)
+            hit = m if hit is None else pc.or_(hit, m)
+        return batch.filter(pc.invert(hit))
 
     return ds.map_batches(fn, batch_format="pyarrow")

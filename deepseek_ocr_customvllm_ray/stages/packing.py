@@ -41,9 +41,10 @@ def _token_counts(batch: pa.Table, text_col: str) -> pa.Array:
     """Whitespace token counts (same contract as analysis.token_counts)."""
     trimmed = pc.utf8_trim_whitespace(batch[text_col])
     toks = pc.list_value_length(pc.split_pattern_regex(trimmed, pattern=r"\s+"))
-    return pc.if_else(
+    counts = pc.if_else(
         pc.equal(pc.utf8_length(trimmed), 0), pa.scalar(0, pa.int32()), toks
     ).cast(pa.int64())
+    return pc.fill_null(counts, 0)  # null text packs as an empty doc
 
 
 def pack_greedy(doc_ids: np.ndarray, n_tokens: np.ndarray, max_tokens: int):

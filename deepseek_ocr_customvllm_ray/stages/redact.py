@@ -31,7 +31,9 @@ def make_redact_batch(text_col: str, id_col: str):
 
     Counts are taken on the text as it stands when that pattern runs (the
     same order the replacements apply), so a value consumed by an earlier
-    pattern is never double-counted."""
+    pattern is never double-counted.  Null text passes through as null
+    with null counts — the same semantics as the SQL oracle's
+    ``regexp_replace(NULL, ...)``."""
 
     def fn(batch: pa.Table) -> pa.Table:
         txt = batch[text_col]

@@ -46,6 +46,22 @@ def test_empty_phrases_rejected():
         decontaminate(None, "text", [])
 
 
+def test_null_text_is_clean_and_kept(ray_session):
+    """Null text matches nothing: flagged clean, and NOT silently dropped
+    by the filter (a bare invert(null) would drop it)."""
+    import ray.data as rd
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["the cat", None], pa.string()),
+    })
+    out = make_contamination_batch("text", "doc_id", ["cat"])(t)
+    assert out["contaminated"].to_pylist() == [True, False]
+    assert out["n_hits"].to_pylist() == [1, 0]
+    clean = decontaminate(rd.from_arrow(t), "text", ["cat"]).to_pandas()
+    assert clean["doc_id"].tolist() == [1]
+
+
 def test_repeated_phrase_counts_once():
     """n_hits counts DISTINCT phrases present, not occurrences."""
     out = make_contamination_batch("text", "doc_id", ["ab"])(_batch(["ab ab ab"]))

@@ -124,6 +124,20 @@ def test_parallelism_invariance(ray_session):
     assert base == again
 
 
+def test_null_and_empty_text_pack_as_zero_tokens(ray_session):
+    import ray.data as rd
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["one two", None, "   "], pa.string()),
+    })
+    df = pack_sequences(
+        rd.from_arrow(t), max_tokens=10, range_size=10, num_partitions=2
+    ).to_pandas()
+    assert df["doc_ids"].tolist() == ["0,1,2"]
+    assert df["total_tokens"].tolist() == [2]
+
+
 def test_every_doc_packed_once(ray_session):
     import ray.data as rd
 

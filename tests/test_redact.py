@@ -60,6 +60,19 @@ def test_empty_and_boundary():
     assert out["redacted"].to_pylist()[3] == "1234-567-8901"
 
 
+def test_null_text_passthrough():
+    """Null in -> null out (SQL regexp_replace semantics; matches the
+    DuckDB oracle)."""
+    out = make_redact_batch("text", "doc_id")(
+        pa.table({
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array([None], pa.string()),
+        })
+    )
+    assert out["redacted"].to_pylist() == [None]
+    assert out["n_emails"].to_pylist() == [None]
+
+
 def test_dataset_path(ray_session):
     import ray.data as rd
 
