@@ -277,7 +277,7 @@ def oracle_sql() -> dict[str, str]:
         "epoch_shuffle": (
             "SELECT doc_id, substr(md5('42:0:' || CAST(doc_id AS VARCHAR)), "
             "1, 16) AS shuffle_key FROM documents "
-            "ORDER BY shuffle_key LIMIT 20"
+            "ORDER BY shuffle_key, doc_id LIMIT 20"
         ),
         "benchmark_decontam": (
             # same phrases as queries._BENCHMARK_PHRASES, same substring

@@ -972,4 +972,4 @@ def q_epoch_shuffle(sf_dir: str):
     from ..stages.sampling import epoch_shuffle
 
     ds = _read(sf_dir, "documents", ["doc_id"])
-    return epoch_shuffle(ds, "doc_id", seed=42, epoch=0).limit(20)
+    return epoch_shuffle(ds, "doc_id", seed=42, epoch=0, keep_key=True).limit(20)

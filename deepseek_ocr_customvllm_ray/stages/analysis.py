@@ -10,22 +10,27 @@ import pyarrow.compute as pc
 from ..functions import textstats as ts
 
 
-def make_token_count_batch(text_col: str, id_col: str):
-    """Whitespace token counts, fully vectorized via Arrow kernels
-    (split_pattern + list_value_length — no Python loop)."""
+def whitespace_token_counts(texts) -> pa.Array:
+    """Whitespace token counts of a string array, fully vectorized via
+    Arrow kernels (split_pattern + list_value_length — no Python loop).
+    THE pinned token-semantics contract shared with the SQL oracles; the
+    packing stage builds on it too.
 
+    Trim first: a regex split counts empty boundary fields, so untrimmed
+    (' a b ' -> 4) and whitespace-only ('  ' -> 2) texts would overcount
+    vs str.split() / the trimmed oracle SQL.  Null in -> null out."""
+    trimmed = pc.utf8_trim_whitespace(texts)
+    toks = pc.list_value_length(pc.split_pattern_regex(trimmed, pattern=r"\s+"))
+    return pc.if_else(
+        pc.equal(pc.utf8_length(trimmed), 0), pa.scalar(0, pa.int32()), toks
+    ).cast(pa.int64())
+
+
+def make_token_count_batch(text_col: str, id_col: str):
     def fn(batch: pa.Table) -> pa.Table:
-        # trim first: a regex split counts empty boundary fields, so
-        # untrimmed (' a b ' -> 4) and whitespace-only ('  ' -> 2) texts
-        # would overcount vs str.split() / the trimmed oracle SQL
-        trimmed = pc.utf8_trim_whitespace(batch[text_col])
-        toks = pc.list_value_length(pc.split_pattern_regex(trimmed, pattern=r"\s+"))
-        n = pc.if_else(
-            pc.equal(pc.utf8_length(trimmed), 0), pa.scalar(0, pa.int32()), toks
-        )
         return pa.table({
             "doc_id": batch[id_col],
-            "n_tokens": n.cast(pa.int64()),
+            "n_tokens": whitespace_token_counts(batch[text_col]),
         })
 
     return fn

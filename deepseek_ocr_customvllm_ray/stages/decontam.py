@@ -19,6 +19,22 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _phrase_hit_counts(txt, phrases: list[str]) -> np.ndarray:
+    """Per-row count of DISTINCT phrases present.  The correctness-critical
+    null rule lives HERE, once, for both the flag and filter paths: null
+    text contains nothing (``fill_null(False)`` — a bare null would poison
+    the count / silently drop the row from an inverted filter)."""
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    hits = np.zeros(len(txt), dtype=np.int64)
+    for p in phrases:
+        m = pc.fill_null(pc.match_substring(txt, pattern=p), False)
+        if isinstance(m, pa.ChunkedArray):
+            m = m.combine_chunks()
+        hits += np.asarray(m).astype(np.int64)
+    return hits
+
+
 def make_contamination_batch(text_col: str, id_col: str, phrases: list[str]):
     """``map_batches`` fn: (id, contaminated bool, n_hits = how many
     distinct phrases occur).  Substring semantics, case-sensitive — the
@@ -27,15 +43,7 @@ def make_contamination_batch(text_col: str, id_col: str, phrases: list[str]):
         raise ValueError("phrases must be non-empty")
 
     def fn(batch: pa.Table) -> pa.Table:
-        txt = batch[text_col]
-        hits = np.zeros(len(txt), dtype=np.int64)
-        for p in phrases:
-            # null text contains nothing -> clean (fill_null keeps the
-            # numpy accumulation int-typed)
-            m = pc.fill_null(pc.match_substring(txt, pattern=p), False)
-            if isinstance(m, pa.ChunkedArray):
-                m = m.combine_chunks()
-            hits += np.asarray(m).astype(np.int64)
+        hits = _phrase_hit_counts(batch[text_col], phrases)
         return pa.table({
             id_col: batch[id_col],
             "contaminated": pa.array(hits > 0),
@@ -60,13 +68,7 @@ def decontaminate(ds, text_col: str, phrases: list[str]):
         raise ValueError("phrases must be non-empty")
 
     def fn(batch: pa.Table) -> pa.Table:
-        txt = batch[text_col]
-        hit = None
-        for p in phrases:
-            # fill_null(False): a null text matches nothing, so the row is
-            # KEPT (a bare invert(null)=null would silently drop it)
-            m = pc.fill_null(pc.match_substring(txt, pattern=p), False)
-            hit = m if hit is None else pc.or_(hit, m)
-        return batch.filter(pc.invert(hit))
+        hits = _phrase_hit_counts(batch[text_col], phrases)
+        return batch.filter(pa.array(hits == 0))
 
     return ds.map_batches(fn, batch_format="pyarrow")

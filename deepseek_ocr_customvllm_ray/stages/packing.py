@@ -38,13 +38,11 @@ _SEQ_STRIDE = 1_000_000
 
 
 def _token_counts(batch: pa.Table, text_col: str) -> pa.Array:
-    """Whitespace token counts (same contract as analysis.token_counts)."""
-    trimmed = pc.utf8_trim_whitespace(batch[text_col])
-    toks = pc.list_value_length(pc.split_pattern_regex(trimmed, pattern=r"\s+"))
-    counts = pc.if_else(
-        pc.equal(pc.utf8_length(trimmed), 0), pa.scalar(0, pa.int32()), toks
-    ).cast(pa.int64())
-    return pc.fill_null(counts, 0)  # null text packs as an empty doc
+    """Whitespace token counts (the shared analysis kernel); null text
+    packs as an empty doc."""
+    from .analysis import whitespace_token_counts
+
+    return pc.fill_null(whitespace_token_counts(batch[text_col]), 0)
 
 
 def pack_greedy(doc_ids: np.ndarray, n_tokens: np.ndarray, max_tokens: int):
@@ -86,6 +84,13 @@ def pack_sequences(
     Output columns: ``seq_id`` (int64, globally unique, order-invariant),
     ``doc_ids`` (comma-joined ascending ids), ``n_docs``, ``total_tokens``,
     ``truncated`` (bool: single oversized doc)."""
+    if range_size > _SEQ_STRIDE:
+        # a range can emit at most range_size sequences (one per doc);
+        # beyond the stride, seq_ids of adjacent ranges would collide
+        raise ValueError(
+            f"range_size ({range_size}) must be <= {_SEQ_STRIDE} "
+            "to keep seq_id = range_id * stride + i collision-free"
+        )
 
     def project(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].cast(pa.int64())

@@ -30,10 +30,16 @@ _PREFIX = 8
 
 
 def _threshold_hex(fraction: float) -> str:
-    """fraction in [0, 1] -> 8-hex-char exclusive upper bound."""
+    """fraction in [0, 1] -> exclusive upper bound for the hex digest
+    prefix.  fraction == 1.0 returns ``"g"``, which sorts after every hex
+    string, so the comparison keeps ALL rows (a clamped ``"ffffffff"``
+    would drop digests equal to it)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return format(min(int(fraction * 16**_PREFIX), 16**_PREFIX - 1), f"0{_PREFIX}x")
+    bound = int(fraction * 16**_PREFIX)
+    if bound >= 16**_PREFIX:
+        return "g"
+    return format(bound, f"0{_PREFIX}x")
 
 
 def _digests(ids, seed: int) -> pa.Array:
@@ -119,7 +125,8 @@ def make_shuffle_key_batch(id_col: str, seed: int = 42, epoch: int = 0,
     return fn
 
 
-def epoch_shuffle(ds, id_col: str, seed: int = 42, epoch: int = 0):
+def epoch_shuffle(ds, id_col: str, seed: int = 42, epoch: int = 0,
+                  keep_key: bool = False):
     """Deterministic global shuffle for training epochs.
 
     ``ds.random_shuffle`` is seeded but its output depends on block
@@ -128,7 +135,15 @@ def epoch_shuffle(ds, id_col: str, seed: int = 42, epoch: int = 0):
     exactly that, and Ray's distributed range sort performs the reorder —
     one all-to-all, the unavoidable cost of a true global shuffle.  Each
     epoch is an independent permutation (the key re-derives; nothing is
-    cached or coordinated)."""
-    return ds.map_batches(
+    cached or coordinated).
+
+    The sort breaks 64-bit key collisions on ``id_col`` (at 10^10+ rows a
+    shared 16-hex prefix is likely, and an untied sort would order those
+    rows by block arrival — breaking the determinism contract).  The
+    helper key column is dropped unless ``keep_key``."""
+    out = ds.map_batches(
         make_shuffle_key_batch(id_col, seed, epoch), batch_format="pyarrow"
-    ).sort("shuffle_key")
+    ).sort(["shuffle_key", id_col])
+    if not keep_key:
+        out = out.drop_columns(["shuffle_key"])
+    return out

@@ -124,6 +124,13 @@ def test_parallelism_invariance(ray_session):
     assert base == again
 
 
+def test_range_size_beyond_stride_rejected():
+    import pytest
+
+    with pytest.raises(ValueError):
+        pack_sequences(None, range_size=_SEQ_STRIDE + 1)
+
+
 def test_null_and_empty_text_pack_as_zero_tokens(ray_session):
     import ray.data as rd
 

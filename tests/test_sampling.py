@@ -24,7 +24,10 @@ def _tbl(n=1000):
 
 def test_threshold_endpoints():
     assert _threshold_hex(0.0) == "00000000"
-    assert _threshold_hex(1.0) == "ffffffff"
+    # 'g' sorts after every hex digest -> fraction 1.0 keeps ALL rows,
+    # including the ~1-in-2^32 whose prefix is exactly 'ffffffff'
+    assert _threshold_hex(1.0) == "g"
+    assert _threshold_hex(1.0) > "ffffffff"
     assert _threshold_hex(0.1) == "19999999"
     with pytest.raises(ValueError):
         _threshold_hex(1.5)
@@ -94,6 +97,10 @@ def test_epoch_shuffle_is_permutation(ray_session):
 
     t = _tbl(400)
     a = epoch_shuffle(rd.from_arrow(t), "doc_id").to_pandas()
+    assert "shuffle_key" not in a.columns  # helper column dropped
+    assert "shuffle_key" in epoch_shuffle(
+        rd.from_arrow(t), "doc_id", keep_key=True
+    ).schema().names
     assert sorted(a["doc_id"]) == list(range(400))
     assert a["doc_id"].tolist() != list(range(400))
     # block structure must not matter
