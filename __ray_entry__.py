@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q.q_pack_sequences,
         "benchmark_decontam": q.q_benchmark_decontam,
         "epoch_shuffle": q.q_epoch_shuffle,
+        "token_diversity": q.q_token_diversity,
     }
 
 
@@ -278,6 +279,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, substr(md5('42:0:' || CAST(doc_id AS VARCHAR)), "
             "1, 16) AS shuffle_key FROM documents "
             "ORDER BY shuffle_key, doc_id LIMIT 20"
+        ),
+        "token_diversity": (
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(count(DISTINCT token) AS BIGINT) AS n_distinct_tokens "
+            "FROM (SELECT doc_id, unnest(string_split_regex(trim(text), "
+            "'\\s+')) AS token FROM documents WHERE trim(text) <> '') "
+            "GROUP BY doc_id"
         ),
         "benchmark_decontam": (
             # same phrases as queries._BENCHMARK_PHRASES, same substring

@@ -973,3 +973,12 @@ def q_epoch_shuffle(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id"])
     return epoch_shuffle(ds, "doc_id", seed=42, epoch=0, keep_key=True).limit(20)
+
+
+def q_token_diversity(sf_dir: str):
+    """Per-doc distinct/total token counts (repetition quality rule)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        analysis.make_token_diversity_batch("text", "doc_id"),
+        batch_format="pyarrow",
+    )

@@ -83,6 +83,32 @@ def make_fingerprint_batch(text_col: str, id_col: str):
     return fn
 
 
+def make_token_diversity_batch(text_col: str, id_col: str):
+    """Per-doc repetition signal (Gopher-style quality rule): total and
+    DISTINCT whitespace-token counts; a low distinct/total ratio marks
+    boilerplate/spam.  Empty and null texts are dropped (the SQL oracle's
+    unnest+GROUP BY produces no row for them).  The per-row set() is
+    inherent — Arrow has no list-distinct kernel — and bounded by document
+    token count, like the other per-row string kernels in this module."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch[text_col])
+        keep = pc.fill_null(pc.greater(pc.utf8_length(trimmed), 0), False)
+        ids = batch[id_col].filter(keep)
+        toks = pc.split_pattern_regex(
+            trimmed.filter(keep), pattern=r"\s+"
+        ).to_pylist()
+        return pa.table({
+            "doc_id": ids,
+            "n_tokens": pa.array([len(t) for t in toks], pa.int64()),
+            "n_distinct_tokens": pa.array(
+                [len(set(t)) for t in toks], pa.int64()
+            ),
+        })
+
+    return fn
+
+
 def make_word_count_partial(text_col: str):
     """Per-batch partial word counts: split + flatten + ``value_counts``
     inside the map task, so the downstream ``groupby(token)`` shuffles one

@@ -100,3 +100,22 @@ class TestBpeTokenCounts:
             .sort_values("doc_id")
         )
         assert out["n_bpe_tokens"].tolist() == [3, 0]
+
+
+def test_token_diversity_counts():
+    import pyarrow as pa
+
+    from deepseek_ocr_customvllm_ray.stages.analysis import (
+        make_token_diversity_batch,
+    )
+
+    out = make_token_diversity_batch("text", "doc_id")(
+        pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["a b a b a", "x y z", "   ", None], pa.string()),
+        })
+    )
+    # empty and null texts are dropped (oracle's unnest emits no row)
+    assert out["doc_id"].to_pylist() == [0, 1]
+    assert out["n_tokens"].to_pylist() == [5, 3]
+    assert out["n_distinct_tokens"].to_pylist() == [2, 3]
