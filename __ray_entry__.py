@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benchmark_decontam": q.q_benchmark_decontam,
         "epoch_shuffle": q.q_epoch_shuffle,
         "token_diversity": q.q_token_diversity,
+        "shingle_decontam": q.q_shingle_decontam,
     }
 
 
@@ -286,6 +287,30 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id, unnest(string_split_regex(trim(text), "
             "'\\s+')) AS token FROM documents WHERE trim(text) <> '') "
             "GROUP BY doc_id"
+        ),
+        "shingle_decontam": (
+            # independent re-derivation by STRING 3-gram membership of the
+            # engine's blake2b shingle-hash index semantics
+            # (functions/hashing.word_shingles: lowercase, ws-split,
+            # <k-token texts contribute one joined shingle)
+            "WITH t AS ("
+            "  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks"
+            "  FROM documents WHERE trim(text) <> ''"
+            "), g AS ("
+            "  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram"
+            "  FROM t, UNNEST(range(1, len(toks) - 1)) AS r(i)"
+            "  WHERE len(toks) >= 3"
+            "  UNION ALL"
+            "  SELECT doc_id, array_to_string(toks, ' ') AS gram FROM t"
+            "  WHERE len(toks) < 3"
+            "), bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0),"
+            "hits AS ("
+            "  SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits"
+            "  FROM g JOIN bench USING (gram) GROUP BY g.doc_id"
+            ") "
+            "SELECT d.doc_id, coalesce(h.n_hits, 0) > 0 AS contaminated, "
+            "CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_shingle_hits "
+            "FROM documents d LEFT JOIN hits h USING (doc_id)"
         ),
         "benchmark_decontam": (
             # same phrases as queries._BENCHMARK_PHRASES, same substring

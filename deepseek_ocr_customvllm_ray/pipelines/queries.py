@@ -982,3 +982,24 @@ def q_token_diversity(sf_dir: str):
         analysis.make_token_diversity_batch("text", "doc_id"),
         batch_format="pyarrow",
     )
+
+
+def q_shingle_decontam(sf_dir: str):
+    """Index-based decontamination (the large-benchmark scale path): the
+    'benchmark' is every doc with doc_id % 100 == 0; its 3-shingle hash
+    index broadcasts once and the corpus streams past it.  The DuckDB
+    oracle re-derives contamination by STRING 3-gram membership — an
+    independent check of the hash-index semantics (blake2b collisions are
+    the only theoretical divergence, ~0 at any feasible scale)."""
+    from ..stages.decontam import build_shingle_index, flag_contaminated_by_index
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def every_100th(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 100 == 0))
+
+    bench = ds.map_batches(every_100th, batch_format="pyarrow")
+    texts = [r["text"] for r in bench.take_all()]  # tiny side (n/100 rows)
+    index = build_shingle_index(texts, k=3)
+    return flag_contaminated_by_index(ds, "text", "doc_id", index, k=3)

@@ -72,3 +72,56 @@ def decontaminate(ds, text_col: str, phrases: list[str]):
         return batch.filter(pa.array(hits == 0))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --- shingle-hash index variant (the large-K scale path) ------------------
+
+
+def build_shingle_index(texts, k: int = 3) -> np.ndarray:
+    """Sorted uint64 blake2b hashes of every word k-gram in the benchmark
+    corpus (`functions/hashing.shingle_hashes` semantics: lowercased,
+    whitespace-tokenized, <k-token texts contribute one joined shingle).
+
+    The index is the SMALL side — millions of benchmark shingles fit in a
+    few MB of uint64s — so it broadcasts once while the 100-TB corpus
+    streams past it.  Unlike the per-phrase substring scan, lookup cost is
+    independent of benchmark size: O(shingles-per-doc · log |index|)."""
+    from ..functions.hashing import shingle_hashes
+
+    hs: set[int] = set()
+    for t in texts:
+        hs.update(shingle_hashes(t or "", k).tolist())
+    return np.array(sorted(hs), dtype=np.uint64)
+
+
+def flag_contaminated_by_index(ds, text_col: str, id_col: str,
+                               index: np.ndarray, k: int = 3):
+    """``Dataset -> Dataset`` of (id, contaminated, n_shingle_hits =
+    DISTINCT doc shingles present in the benchmark index).
+
+    The index ships via ``ray.put`` once and is read zero-copy from the
+    local object store in every task; membership is a vectorized
+    ``searchsorted`` probe per document."""
+    import ray
+
+    from ..functions.hashing import shingle_hashes
+
+    idx_ref = ray.put(np.asarray(index, dtype=np.uint64))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        idx = ray.get(idx_ref)
+        n_hits = np.zeros(len(batch), dtype=np.int64)
+        if len(idx):
+            for i, t in enumerate(batch[text_col].to_pylist()):
+                hs = shingle_hashes(t or "", k)
+                if hs.size:
+                    pos = np.searchsorted(idx, hs)
+                    pos_c = np.minimum(pos, len(idx) - 1)
+                    n_hits[i] = int((idx[pos_c] == hs).sum())
+        return pa.table({
+            id_col: batch[id_col],
+            "contaminated": pa.array(n_hits > 0),
+            "n_shingle_hits": pa.array(n_hits, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

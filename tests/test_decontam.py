@@ -81,3 +81,48 @@ def test_dataset_flag_and_filter(ray_session):
     assert sorted(clean["text"]) == ["also keep", "keep me"]
     # all columns pass through the filter
     assert sorted(clean.columns) == ["doc_id", "text"]
+
+
+def test_shingle_index_build_and_probe():
+    from deepseek_ocr_customvllm_ray.stages.decontam import build_shingle_index
+    from deepseek_ocr_customvllm_ray.functions.hashing import shingle_hashes
+    import numpy as np
+
+    idx = build_shingle_index(["the quick brown fox", "jumps over it"], k=3)
+    assert idx.dtype == np.uint64 and (idx[1:] > idx[:-1]).all()
+    # every shingle of a benchmark text probes positive
+    hs = shingle_hashes("the quick brown fox", 3)
+    assert np.isin(hs, idx).all()
+    # an unrelated text probes negative
+    assert not np.isin(shingle_hashes("totally different words here", 3), idx).any()
+    # short texts contribute their joined-words shingle
+    short = build_shingle_index(["two words"], k=3)
+    assert np.isin(shingle_hashes("two words", 3), short).all()
+    assert build_shingle_index([], k=3).size == 0
+    assert build_shingle_index([None, ""], k=3).size == 0
+
+
+def test_flag_contaminated_by_index(ray_session):
+    import ray.data as rd
+
+    from deepseek_ocr_customvllm_ray.stages.decontam import (
+        build_shingle_index,
+        flag_contaminated_by_index,
+    )
+
+    idx = build_shingle_index(["alpha beta gamma delta"], k=3)
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "x alpha beta gamma y",     # shares 'alpha beta gamma'
+            "alpha beta gamma delta",   # shares both benchmark shingles
+            "beta alpha gamma delta",   # same words, different order: clean
+            None,                       # null: clean
+        ], pa.string()),
+    })
+    out = (
+        flag_contaminated_by_index(rd.from_arrow(t), "text", "doc_id", idx)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["contaminated"].tolist() == [True, True, False, False]
+    assert out["n_shingle_hits"].tolist() == [1, 2, 0, 0]
