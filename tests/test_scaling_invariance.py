@@ -69,7 +69,8 @@ for name in ("q_minhash_clusters", "q_ngram_jaccard_pairs", "q_simhash_signature
              "q_bpe_token_counts", "q_knn_ivf", "q_events_recent_orders",
              "q_simhash_pairs", "q_embedding_near_dups",
              "q_approx_distinct_texts", "q_orders_customer_join",
-             "q_pack_sequences", "q_sample_documents", "q_word_frequencies"):
+             "q_pack_sequences", "q_sample_documents", "q_word_frequencies",
+             "q_shingle_decontam", "q_epoch_shuffle", "q_token_diversity"):
     res = getattr(q, name)(%(sf)r)
     df = res.to_pandas() if hasattr(res, "to_pandas") else res
     df = df[sorted(df.columns)]
