@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": q.q_epoch_shuffle,
         "token_diversity": q.q_token_diversity,
         "shingle_decontam": q.q_shingle_decontam,
+        "approx_heavy_hitters": q.q_approx_heavy_hitters,
     }
 
 
@@ -280,6 +281,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, substr(md5('42:0:' || CAST(doc_id AS VARCHAR)), "
             "1, 16) AS shuffle_key FROM documents "
             "ORDER BY shuffle_key, doc_id LIMIT 20"
+        ),
+        "approx_heavy_hitters": (
+            # the CM estimator equals the exact count unless a token
+            # collides with another in EVERY sketch row (p ~ width^-depth
+            # = 2048^-4 per pair — zero at this vocabulary), so the exact
+            # top-10 is a genuinely independent oracle; the overestimate
+            # BOUND on adversarial inputs is asserted in
+            # tests/test_sketches.py
+            "SELECT token, CAST(count(*) AS BIGINT) AS est_n FROM ("
+            "SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token "
+            "FROM documents WHERE trim(text) <> '') "
+            "GROUP BY token ORDER BY est_n DESC, token LIMIT 10"
         ),
         "token_diversity": (
             "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "

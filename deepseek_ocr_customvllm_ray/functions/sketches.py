@@ -131,3 +131,60 @@ class HyperLogLog:
         h = cls(p)
         h.registers = np.frombuffer(data, dtype=np.uint8).copy()
         return h
+
+
+class CountMinSketch:
+    """Count-Min sketch (Cormode & Muthukrishnan '05): approximate counts
+    with one-sided error (never under-estimates; over-estimate bounded by
+    eps * total_count w.p. 1 - delta for width = e/eps, depth = ln(1/delta)).
+
+    Mergeable by element-wise table addition, so each ``map_batches`` task
+    emits one (depth x width) int64 table and a tiny reduce sums them —
+    frequency tracking over 10^12 tokens in depth*width*8 bytes.  Row d
+    hashes value v as ``_hash64(f"{d}:{v}") % width`` (independent salted
+    rows, deterministic across processes)."""
+
+    def __init__(self, width: int = 2048, depth: int = 4):
+        self.width = width
+        self.depth = depth
+        self.table = np.zeros((depth, width), dtype=np.int64)
+
+    def _positions(self, values: List[str], d: int) -> np.ndarray:
+        return (_hash64(f"{d}:{v}" for v in values) % np.uint64(self.width)).astype(
+            np.int64
+        )
+
+    def add_many(self, values: List[str], counts=None) -> None:
+        if not values:
+            return
+        w = (
+            np.ones(len(values), dtype=np.int64)
+            if counts is None
+            else np.asarray(counts, dtype=np.int64)
+        )
+        for d in range(self.depth):
+            np.add.at(self.table[d], self._positions(values, d), w)
+
+    def query_many(self, values: List[str]) -> np.ndarray:
+        """Per-value estimate: min over rows (the CM estimator)."""
+        if not values:
+            return np.zeros(0, dtype=np.int64)
+        est = np.full(len(values), np.iinfo(np.int64).max, dtype=np.int64)
+        for d in range(self.depth):
+            est = np.minimum(est, self.table[d][self._positions(values, d)])
+        return est
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert (self.width, self.depth) == (other.width, other.depth)
+        out = CountMinSketch(self.width, self.depth)
+        out.table = self.table + other.table
+        return out
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, width: int, depth: int) -> "CountMinSketch":
+        s = cls(width, depth)
+        s.table = np.frombuffer(data, dtype=np.int64).reshape(depth, width).copy()
+        return s

@@ -1003,3 +1003,46 @@ def q_shingle_decontam(sf_dir: str):
     texts = [r["text"] for r in bench.take_all()]  # tiny side (n/100 rows)
     index = build_shingle_index(texts, k=3)
     return flag_contaminated_by_index(ds, "text", "doc_id", index, k=3)
+
+
+def q_approx_heavy_hitters(sf_dir: str):
+    """Count-Min heavy hitters (mergeable-sketch pattern): per batch one
+    constant-size CM table + the batch's candidate token set; a tiny
+    driver-side reduce sums tables, unions candidates, and estimates.
+    At crawl scale the candidate union is bounded by per-batch top-k
+    emission; here the vocabulary is small enough to carry whole."""
+    import pandas as pd
+
+    from ..functions.sketches import CountMinSketch
+    from ..stages.analysis import make_word_count_partial
+
+    WIDTH, DEPTH = 2048, 4
+    ds = _read(sf_dir, "documents", ["text"])
+    partial = make_word_count_partial("text")
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        counts = partial(batch)
+        toks = [t for t in counts["token"].to_pylist()]
+        s = CountMinSketch(WIDTH, DEPTH)
+        s.add_many(toks, counts["cnt_p"].to_pylist())
+        return pa.table({
+            "sketch": pa.array([s.to_bytes()], pa.binary()),
+            "candidates": pa.array([toks], pa.list_(pa.string())),
+        })
+
+    merged = CountMinSketch(WIDTH, DEPTH)
+    cand: set = set()
+    for b in ds.map_batches(sketch, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for s, c in zip(b["sketch"].to_pylist(), b["candidates"].to_pylist()):
+            merged = merged.merge(CountMinSketch.from_bytes(s, WIDTH, DEPTH))
+            cand.update(c)
+    toks = sorted(cand)
+    est = merged.query_many(toks)
+    df = pd.DataFrame({"token": toks, "est_n": est.astype("int64")})
+    return (
+        df.sort_values(["est_n", "token"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )

@@ -74,3 +74,44 @@ class TestHll:
         a.add_many(["p", "q", "r"])
         b = HyperLogLog.from_bytes(a.to_bytes(), 10)
         assert a.estimate() == b.estimate()
+
+
+class TestCountMin:
+    def test_never_underestimates_and_small_overestimate(self):
+        import numpy as np
+
+        from deepseek_ocr_customvllm_ray.functions.sketches import CountMinSketch
+
+        rng = np.random.default_rng(5)
+        keys = [f"k{i}" for i in range(5000)]
+        true = {k: int(rng.integers(1, 50)) for k in keys}
+        s = CountMinSketch(width=2048, depth=4)
+        s.add_many(list(true), list(true.values()))
+        est = s.query_many(list(true))
+        t = np.array(list(true.values()))
+        assert (est >= t).all()  # one-sided error
+        total = int(t.sum())
+        # eps = e/width; allow 3x slack on the expected bound
+        assert (est - t).max() <= 3 * 2.718 * total / 2048
+
+    def test_merge_equals_single_pass(self):
+        from deepseek_ocr_customvllm_ray.functions.sketches import CountMinSketch
+
+        a = CountMinSketch(64, 3)
+        b = CountMinSketch(64, 3)
+        a.add_many(["x", "y", "x"])
+        b.add_many(["y", "z"], [10, 2])
+        one = CountMinSketch(64, 3)
+        one.add_many(["x", "y", "x", "y", "z"], [1, 1, 1, 10, 2])
+        assert (a.merge(b).table == one.table).all()
+
+    def test_roundtrip_and_empty(self):
+        from deepseek_ocr_customvllm_ray.functions.sketches import CountMinSketch
+
+        s = CountMinSketch(32, 2)
+        s.add_many(["a"], [7])
+        r = CountMinSketch.from_bytes(s.to_bytes(), 32, 2)
+        assert (r.table == s.table).all()
+        assert r.query_many(["a"])[0] >= 7
+        assert s.query_many([]).size == 0
+        s.add_many([])  # no-op
