@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_diversity": q.q_token_diversity,
         "shingle_decontam": q.q_shingle_decontam,
         "approx_heavy_hitters": q.q_approx_heavy_hitters,
+        "approx_char_quantiles": q.q_approx_char_quantiles,
     }
 
 
@@ -396,6 +397,12 @@ def oracle_sql() -> dict[str, str]:
             # parallelism-invariant pure function of the input (id-range
             # partitioning), so it snapshot-pins like the ops above
             "SELECT * FROM read_parquet('/root/repo/golden/pack_sequences.parquet')"
+        ),
+        "approx_char_quantiles": (
+            # approximate by design (log-histogram) but a deterministic,
+            # merge-order-free pure function of the input; accuracy vs
+            # exact percentiles asserted in tests/test_sketches.py
+            "SELECT * FROM read_parquet('/root/repo/golden/approx_char_quantiles.parquet')"
         ),
     }
 

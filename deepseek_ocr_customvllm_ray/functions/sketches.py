@@ -188,3 +188,60 @@ class CountMinSketch:
         s = cls(width, depth)
         s.table = np.frombuffer(data, dtype=np.int64).reshape(depth, width).copy()
         return s
+
+
+class LogHistogram:
+    """Mergeable log-scale histogram for approximate quantiles of positive
+    values (the classic HDR-histogram idea: fixed exponential bins, so the
+    relative error is bounded by the bin growth factor).
+
+    ``sub`` linear sub-bins per power of two bound relative error at
+    2^(1/sub) - 1 (sub=16 -> ~4.4%).  Merge = element-wise count add, so
+    each ``map_batches`` task emits one constant-size count vector and a
+    tiny reduce sums them — quantiles over 10^12 rows without a sort.
+    Deterministic: estimates depend only on the merged counts."""
+
+    #: bins cover [1, 2^60); values outside clamp to the edge bins
+    _MAX_POW = 60
+
+    def __init__(self, sub: int = 16):
+        self.sub = sub
+        self.counts = np.zeros(self._MAX_POW * sub, dtype=np.int64)
+
+    def _bin_index(self, values: np.ndarray) -> np.ndarray:
+        v = np.clip(np.asarray(values, dtype=np.float64), 1.0, 2.0**self._MAX_POW - 1)
+        idx = np.floor(np.log2(v) * self.sub).astype(np.int64)
+        return np.clip(idx, 0, len(self.counts) - 1)
+
+    def add_many(self, values) -> None:
+        if len(values) == 0:
+            return
+        np.add.at(self.counts, self._bin_index(values), 1)
+
+    def merge(self, other: "LogHistogram") -> "LogHistogram":
+        assert self.sub == other.sub
+        out = LogHistogram(self.sub)
+        out.counts = self.counts + other.counts
+        return out
+
+    def quantile(self, q: float) -> float:
+        """Estimate: the geometric midpoint of the bin holding the q-th
+        ranked value (relative error <= half the bin ratio)."""
+        total = int(self.counts.sum())
+        if total == 0:
+            return float("nan")
+        rank = min(max(q, 0.0), 1.0) * (total - 1)
+        cum = np.cumsum(self.counts)
+        b = int(np.searchsorted(cum, rank + 1))
+        lo = 2.0 ** (b / self.sub)
+        hi = 2.0 ** ((b + 1) / self.sub)
+        return float(np.sqrt(lo * hi))
+
+    def to_bytes(self) -> bytes:
+        return self.counts.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, sub: int = 16) -> "LogHistogram":
+        h = cls(sub)
+        h.counts = np.frombuffer(data, dtype=np.int64).copy()
+        return h

@@ -1046,3 +1046,40 @@ def q_approx_heavy_hitters(sf_dir: str):
         .head(10)
         .reset_index(drop=True)
     )
+
+
+def q_approx_char_quantiles(sf_dir: str):
+    """p50/p90/p99 of n_chars via the mergeable log-histogram sketch (one
+    constant-size count vector per batch, tiny driver reduce — quantiles
+    at corpus scale without a distributed sort).  Deterministic pure
+    function of the input -> golden-snapshot oracle; the error bound vs
+    exact percentiles is asserted in tests/test_sketches.py."""
+    import pandas as pd
+
+    from ..functions.sketches import LogHistogram
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        h = LogHistogram(sub=16)
+        h.add_many(batch["n_chars"].to_numpy(zero_copy_only=False))
+        return pa.table({"sketch": pa.array([h.to_bytes()], pa.binary())})
+
+    merged = LogHistogram(sub=16)
+    for b in ds.map_batches(sketch, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for s in b["sketch"].to_pylist():
+            merged = merged.merge(LogHistogram.from_bytes(s, 16))
+    return pd.DataFrame({
+        "quantile": pd.array(["p50", "p90", "p99"], dtype="object"),
+        # pin as float64-buffer hex (float repr would not round-trip
+        # bit-identically through parquet + pandas)
+        "est_hex": pd.array(
+            [
+                float(merged.quantile(q)).hex()
+                for q in (0.50, 0.90, 0.99)
+            ],
+            dtype="object",
+        ),
+    })

@@ -115,3 +115,48 @@ class TestCountMin:
         assert r.query_many(["a"])[0] >= 7
         assert s.query_many([]).size == 0
         s.add_many([])  # no-op
+
+
+class TestLogHistogram:
+    def test_quantiles_within_bin_error(self):
+        import numpy as np
+
+        from deepseek_ocr_customvllm_ray.functions.sketches import LogHistogram
+
+        rng = np.random.default_rng(9)
+        vals = rng.lognormal(mean=5.0, sigma=1.5, size=20000).astype(np.int64) + 1
+        h = LogHistogram(sub=16)
+        h.add_many(vals)
+        rel_bound = 2 ** (1 / 16) - 1  # bin ratio
+        for q in (0.1, 0.5, 0.9, 0.99):
+            exact = float(np.quantile(vals, q))
+            est = h.quantile(q)
+            assert abs(est - exact) / exact <= 2 * rel_bound + 0.01, (q, est, exact)
+
+    def test_merge_order_free(self):
+        import numpy as np
+
+        from deepseek_ocr_customvllm_ray.functions.sketches import LogHistogram
+
+        a, b, c = LogHistogram(), LogHistogram(), LogHistogram()
+        a.add_many([1, 5, 9]); b.add_many([100, 200]); c.add_many([7] * 10)
+        one = LogHistogram()
+        one.add_many([1, 5, 9, 100, 200] + [7] * 10)
+        ab_c = a.merge(b).merge(c)
+        c_ba = c.merge(b).merge(a)
+        assert (ab_c.counts == one.counts).all()
+        assert (c_ba.counts == one.counts).all()
+
+    def test_empty_and_roundtrip(self):
+        import math
+
+        from deepseek_ocr_customvllm_ray.functions.sketches import LogHistogram
+
+        h = LogHistogram()
+        assert math.isnan(h.quantile(0.5))
+        h.add_many([42])
+        r = LogHistogram.from_bytes(h.to_bytes())
+        assert r.quantile(0.5) == h.quantile(0.5)
+        # clamping: zero/negative land in the first bin, huge in the last
+        h.add_many([0, -5, 2**62])
+        assert int(h.counts.sum()) == 4

@@ -44,6 +44,7 @@ GOLDEN_QUERIES = [
     "embedding_near_dups",
     "approx_distinct_texts",
     "pack_sequences",
+    "approx_char_quantiles",
 ]
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "golden")
