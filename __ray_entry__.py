@@ -105,14 +105,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
         ),
         "token_counts": (
-            "SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
-            "length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) "
+            "SELECT doc_id, CAST(CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) = '' THEN 0 ELSE "
+            "length(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')) END AS BIGINT) "
             "AS n_tokens FROM documents"
         ),
         "quality_scores": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
-            "CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
-            "length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens "
+            "CAST(CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) = '' THEN 0 ELSE "
+            "length(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')) END AS BIGINT) AS n_tokens "
             "FROM documents"
         ),
         "length_buckets": (
@@ -176,7 +176,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "quality_filter": (
             "SELECT doc_id FROM documents WHERE n_chars >= 100 AND n_chars <= 400 "
-            "AND CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) >= 20"
+            "AND CAST(length(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')) AS BIGINT) >= 20"
         ),
         "batch_cli_clean": (
             # tag-free plain text is a no-op by contract (run_batch.py:133-143:
@@ -274,8 +274,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "word_frequencies": (
             "SELECT token, count(*) AS n FROM ("
-            "SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token "
-            "FROM documents WHERE trim(text) <> '') "
+            "SELECT unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')) AS token "
+            "FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) <> '') "
             "GROUP BY token ORDER BY n DESC, token LIMIT 50"
         ),
         "epoch_shuffle": (
@@ -291,25 +291,28 @@ def oracle_sql() -> dict[str, str]:
             # BOUND on adversarial inputs is asserted in
             # tests/test_sketches.py
             "SELECT token, CAST(count(*) AS BIGINT) AS est_n FROM ("
-            "SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token "
-            "FROM documents WHERE trim(text) <> '') "
+            "SELECT unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')) AS token "
+            "FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) <> '') "
             "GROUP BY token ORDER BY est_n DESC, token LIMIT 10"
         ),
         "token_diversity": (
             "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
             "CAST(count(DISTINCT token) AS BIGINT) AS n_distinct_tokens "
-            "FROM (SELECT doc_id, unnest(string_split_regex(trim(text), "
-            "'\\s+')) AS token FROM documents WHERE trim(text) <> '') "
+            "FROM (SELECT doc_id, unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), "
+            "'\\s+')) AS token FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) <> '') "
             "GROUP BY doc_id"
         ),
         "shingle_decontam": (
             # independent re-derivation by STRING 3-gram membership of the
             # engine's blake2b shingle-hash index semantics
-            # (functions/hashing.word_shingles: lowercase, ws-split,
-            # <k-token texts contribute one joined shingle)
+            # (functions/hashing.word_shingles: lowercase, Python
+            # str.split() — the RE2 class below reproduces Python's
+            # whitespace set: \s + \v + \x1c-\x1f + NEL + Unicode Z*)
             "WITH t AS ("
-            "  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks"
-            "  FROM documents WHERE trim(text) <> ''"
+            "  SELECT doc_id, string_split_regex("
+            "trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), "
+            "'[\\t\\n\\x0B\\f\\r \\x1C-\\x1F\\x85\\p{Z}]+') AS toks"
+            "  FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) <> ''"
             "), g AS ("
             "  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram"
             "  FROM t, UNNEST(range(1, len(toks) - 1)) AS r(i)"
@@ -328,13 +331,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "benchmark_decontam": (
             # same phrases as queries._BENCHMARK_PHRASES, same substring
-            # semantics (contains == Arrow match_substring)
+            # semantics (contains == Arrow match_substring); coalesce
+            # pins the engine's null-text contract (null contains
+            # nothing -> clean, not NULL)
             "SELECT doc_id, "
-            "(contains(text, 'slow join') OR contains(text, 'spark spark') "
-            "OR contains(text, 'customer window line')) AS contaminated, "
-            "CAST(contains(text, 'slow join') AS BIGINT) + "
-            "CAST(contains(text, 'spark spark') AS BIGINT) + "
-            "CAST(contains(text, 'customer window line') AS BIGINT) AS n_hits "
+            "(coalesce(contains(text, 'slow join'), false) "
+            "OR coalesce(contains(text, 'spark spark'), false) "
+            "OR coalesce(contains(text, 'customer window line'), false)) "
+            "AS contaminated, "
+            "CAST(coalesce(contains(text, 'slow join'), false) AS BIGINT) + "
+            "CAST(coalesce(contains(text, 'spark spark'), false) AS BIGINT) + "
+            "CAST(coalesce(contains(text, 'customer window line'), false) "
+            "AS BIGINT) AS n_hits "
             "FROM documents"
         ),
         # Golden-snapshot oracles: hashing/heuristic ops (simhash, langid,

@@ -1,7 +1,9 @@
-"""Mergeable sketches: Bloom filter (semi-join side) and HyperLogLog
-(approximate distinct).  Public algorithms (Bloom '70; Flajolet et al. '07),
-numpy-vectorized, deterministic (crc32-based hashing — never Python's salted
-``hash``).
+"""Mergeable sketches: Bloom filter (semi-join side), HyperLogLog
+(approximate distinct), Count-Min (frequencies), log-histogram (quantiles).
+Public algorithms (Bloom '70; Flajolet et al. '07; Cormode &
+Muthukrishnan '05), numpy-vectorized, deterministic (blake2b 8-byte
+hashing — never Python's salted ``hash``, and never crc32, whose 32 bits
+collide at crawl scale; see ``_hash64``).
 
 The mergeability is the point for Ray: each ``map_batches`` task emits one
 small sketch; a tiny reduce merges them (union for Bloom, element-wise max

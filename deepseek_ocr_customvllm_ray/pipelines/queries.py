@@ -640,11 +640,7 @@ def q_quality_filter(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
 
     def keep(batch: pa.Table) -> pa.Table:
-        toks = pc.list_value_length(
-            pc.split_pattern_regex(
-                pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
-            )
-        ).cast(pa.int64())
+        toks = analysis.whitespace_token_counts(batch["text"])
         ok = pc.and_(
             pc.and_(
                 pc.greater_equal(batch["n_chars"], 100),

@@ -1,15 +1,17 @@
 """Benchmark decontamination — flag / drop documents that contain text from
 an evaluation set, so the training corpus doesn't memorize the benchmark.
 
-The benchmark side is SMALL (thousands of phrases) and the corpus side is
-100 TB, so this is the canonical broadcast semi-join: ship the phrase list
-once (`ray.put` when it's big enough to matter), scan each batch with one
-vectorized Arrow ``match_substring`` kernel per phrase — no shuffle, no
-per-row Python.  Cost is O(K · corpus-bytes) kernel scans; for K beyond a
-few thousand phrases the documented swap is the shingle-hash variant
-(hash the benchmark's n-grams into a set, semi-join doc shingle hashes
-with ``pc.is_in`` — the machinery ``stages/dedup.ngram_jaccard_verify``
-already uses).
+The benchmark side is SMALL and the corpus side is 100 TB, so both paths
+here are broadcast semi-joins — no shuffle, no per-row Python in the scan:
+
+- **phrase path** (``flag_contaminated`` / ``decontaminate``): the phrase
+  list rides each task's closure (fine for the tens-to-hundreds of
+  phrases it targets); one vectorized Arrow ``match_substring`` kernel
+  pass per phrase, so cost is O(K · corpus-bytes);
+- **index path** (``build_shingle_index`` / ``flag_contaminated_by_index``):
+  for benchmarks of millions of n-grams — the hash index ships via
+  ``ray.put`` ONCE and each doc probes it with a ``searchsorted``, so
+  lookup cost is independent of benchmark size.
 """
 
 from __future__ import annotations
