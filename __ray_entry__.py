@@ -86,6 +86,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shingle_decontam": q.q_shingle_decontam,
         "approx_heavy_hitters": q.q_approx_heavy_hitters,
         "approx_char_quantiles": q.q_approx_char_quantiles,
+        # line / paragraph granularity (C4 line filter, Lee et al. 2022
+        # paragraph dedup) over the synthesized-newline documents view
+        "line_filter": q.q_line_filter,
+        "paragraph_dedup": q.q_paragraph_dedup,
     }
 
 
@@ -411,6 +415,34 @@ def oracle_sql() -> dict[str, str]:
             # merge-order-free pure function of the input; accuracy vs
             # exact percentiles asserted in tests/test_sketches.py
             "SELECT * FROM read_parquet('/root/repo/golden/approx_char_quantiles.parquet')"
+        ),
+        "line_filter": (
+            # same deterministic " sort " -> newline synthesis as the Ray
+            # adapter (_lined_documents); C4 keep-rule: >=5 words, no badword
+            "WITH src AS (SELECT doc_id, replace(text, ' sort ', chr(10)) AS t "
+            "FROM documents WHERE text IS NOT NULL AND length(text) > 0), "
+            "lines AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line, "
+            "generate_subscripts(string_split(t, chr(10)), 1) AS idx FROM src), "
+            "flagged AS (SELECT doc_id, line, idx, "
+            "(len(regexp_extract_all(line, '\\S+')) >= 5 "
+            "AND NOT contains(line, 'slow')) AS keep FROM lines) "
+            "SELECT doc_id, "
+            "string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE keep) AS text, "
+            "count(*) AS n_lines, count(*) FILTER (WHERE keep) AS n_kept "
+            "FROM flagged GROUP BY doc_id HAVING count(*) FILTER (WHERE keep) > 0"
+        ),
+        "paragraph_dedup": (
+            # first (doc_id, idx) occurrence of each paragraph survives
+            "WITH src AS (SELECT doc_id, replace(text, ' sort ', chr(10)) AS t "
+            "FROM documents WHERE text IS NOT NULL AND length(text) > 0), "
+            "paras AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS para, "
+            "generate_subscripts(string_split(t, chr(10)), 1) - 1 AS idx FROM src), "
+            "ranked AS (SELECT *, row_number() OVER "
+            "(PARTITION BY para ORDER BY doc_id, idx) AS rn FROM paras) "
+            "SELECT doc_id, "
+            "string_agg(para, chr(10) ORDER BY idx) FILTER (WHERE rn = 1) AS text, "
+            "count(*) AS n_paras, count(*) FILTER (WHERE rn = 1) AS n_kept "
+            "FROM ranked GROUP BY doc_id HAVING count(*) FILTER (WHERE rn = 1) > 0"
         ),
     }
 

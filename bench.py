@@ -152,6 +152,8 @@ def run_bench() -> dict:
     timed("pii_redaction", q.q_pii_redaction)
     timed("word_frequencies", q.q_word_frequencies)
     timed("pack_sequences", q.q_pack_sequences)
+    timed("line_filter", q.q_line_filter)
+    timed("paragraph_dedup", q.q_paragraph_dedup)
 
     out = {
         "metric": "extract_e2e_sec",

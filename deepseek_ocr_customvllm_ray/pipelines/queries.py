@@ -1079,3 +1079,49 @@ def q_approx_char_quantiles(sf_dir: str):
             dtype="object",
         ),
     })
+
+
+# --- line / paragraph granularity ops (stages/lines.py) -------------------
+
+
+def _lined_documents(sf_dir: str):
+    """documents with deterministic synthetic line breaks.
+
+    The corpus text is single-line word salad, so the line/paragraph
+    operators would be vacuous on the raw column; both this adapter and
+    the oracle SQL turn every ``" sort "`` token into a newline (the same
+    left-to-right non-overlapping replace in Arrow and DuckDB), giving
+    ~2.6 lines/doc with real cross-document duplicate paragraphs."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_lines(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "text": pc.replace_substring(batch["text"], " sort ", "\n"),
+        })
+
+    return ds.map_batches(to_lines, batch_format="pyarrow")
+
+
+def q_line_filter(sf_dir: str):
+    """C4-style line cleaning (Raffel et al. 2020 §2.2): drop lines with
+    <5 words or a badword, re-join survivors, drop emptied docs.  Map-only;
+    DuckDB recomputes it with string_split + regexp_extract_all."""
+    from ..stages.lines import make_line_filter_batch
+
+    return _lined_documents(sf_dir).map_batches(
+        make_line_filter_batch("text", "doc_id", min_words=5, badwords=("slow",)),
+        batch_format="pyarrow",
+    )
+
+
+def q_paragraph_dedup(sf_dir: str):
+    """Corpus-wide paragraph exact dedup (Lee et al. 2022): first
+    (doc_id, idx) occurrence of each paragraph survives, later occurrences
+    are cut from their documents.  Thin-row hash shuffle; DuckDB recomputes
+    it with row_number() OVER (PARTITION BY para)."""
+    from ..stages.lines import paragraph_dedup
+
+    return paragraph_dedup(
+        _lined_documents(sf_dir), "text", "doc_id", num_partitions=16
+    )
