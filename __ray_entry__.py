@@ -90,6 +90,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # paragraph dedup) over the synthesized-newline documents view
         "line_filter": q.q_line_filter,
         "paragraph_dedup": q.q_paragraph_dedup,
+        # URL canonicalization / per-domain corpus shaping
+        "url_parse": q.q_url_parse,
+        "domain_quota": q.q_domain_quota,
     }
 
 
@@ -443,6 +446,53 @@ def oracle_sql() -> dict[str, str]:
             "string_agg(para, chr(10) ORDER BY idx) FILTER (WHERE rn = 1) AS text, "
             "count(*) AS n_paras, count(*) FILTER (WHERE rn = 1) AS n_kept "
             "FROM ranked GROUP BY doc_id HAVING count(*) FILTER (WHERE rn = 1) > 0"
+        ),
+        "url_parse": (
+            # same deterministic url synthesis as the Ray adapter
+            # (_synth_url_documents); components re-derived with DuckDB's
+            # own regexp functions
+            "WITH src AS (SELECT doc_id, 'https://' "
+            "|| CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END "
+            "|| CASE WHEN doc_id % 7 = 0 THEN upper(source) ELSE source END "
+            "|| CASE WHEN doc_id % 2 = 0 THEN '.co.uk' ELSE '.com' END "
+            "|| CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END "
+            "|| '/p/' || doc_id "
+            "|| CASE WHEN doc_id % 5 = 0 THEN '?utm_source=' || doc_id ELSE '' END "
+            "AS url FROM documents), "
+            "parsed AS (SELECT doc_id, url, "
+            "regexp_replace(lower(regexp_extract(url, '^https?://([^/?#]+)', 1)), "
+            "':[0-9]+$', '') AS host, "
+            "coalesce(nullif(regexp_extract(url, '^https?://[^/?#]+(/[^?#]*)', 1), "
+            "''), '/') AS path FROM src) "
+            "SELECT doc_id, url, host, "
+            "coalesce(nullif(regexp_extract(host, "
+            "'([^.]+\\.(?:co\\.uk|ac\\.uk|gov\\.uk|com\\.au|co\\.jp|com\\.br)"
+            "|[^.]+\\.[^.]+)$', 1), ''), host) AS registered_domain, "
+            "path, 'https://' || regexp_replace(host, '^www\\.', '') || path "
+            "AS canonical_url FROM parsed"
+        ),
+        "domain_quota": (
+            "WITH src AS (SELECT doc_id, 'https://' "
+            "|| CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END "
+            "|| CASE WHEN doc_id % 7 = 0 THEN upper(source) ELSE source END "
+            "|| CASE WHEN doc_id % 2 = 0 THEN '.co.uk' ELSE '.com' END "
+            "|| CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END "
+            "|| '/p/' || doc_id "
+            "|| CASE WHEN doc_id % 5 = 0 THEN '?utm_source=' || doc_id ELSE '' END "
+            "AS url FROM documents), "
+            "parsed AS (SELECT doc_id, url, "
+            "regexp_replace(lower(regexp_extract(url, '^https?://([^/?#]+)', 1)), "
+            "':[0-9]+$', '') AS host, "
+            "coalesce(nullif(regexp_extract(url, '^https?://[^/?#]+(/[^?#]*)', 1), "
+            "''), '/') AS path FROM src), "
+            "comp AS (SELECT doc_id, url, host, "
+            "coalesce(nullif(regexp_extract(host, "
+            "'([^.]+\\.(?:co\\.uk|ac\\.uk|gov\\.uk|com\\.au|co\\.jp|com\\.br)"
+            "|[^.]+\\.[^.]+)$', 1), ''), host) AS registered_domain, "
+            "path, 'https://' || regexp_replace(host, '^www\\.', '') || path "
+            "AS canonical_url FROM parsed) "
+            "SELECT * FROM comp QUALIFY "
+            "row_number() OVER (PARTITION BY registered_domain ORDER BY doc_id) <= 3"
         ),
     }
 

@@ -154,6 +154,7 @@ def run_bench() -> dict:
     timed("pack_sequences", q.q_pack_sequences)
     timed("line_filter", q.q_line_filter)
     timed("paragraph_dedup", q.q_paragraph_dedup)
+    timed("domain_quota", q.q_domain_quota)
 
     out = {
         "metric": "extract_e2e_sec",

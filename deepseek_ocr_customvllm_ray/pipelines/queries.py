@@ -1125,3 +1125,62 @@ def q_paragraph_dedup(sf_dir: str):
     return paragraph_dedup(
         _lined_documents(sf_dir), "text", "doc_id", num_partitions=16
     )
+
+
+# --- URL canonicalization / domain shaping (stages/urls.py) ---------------
+
+
+def _synth_url_documents(sf_dir: str):
+    """documents with a deterministic synthetic ``url`` column.
+
+    The documents table has no URLs, so the URL operators synthesize one
+    per doc — mixed-case hosts, www. prefixes, two TLD families (one on
+    the public-suffix sample), occasional ports and query strings — with
+    the SAME expression in the oracle SQL, exercising every normalization
+    branch non-vacuously and independently checkably."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].cast(pa.int64())
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        ids_s = ids.cast(pa.string())
+        src = batch["source"].cast(pa.string())
+        www = pa.array(np.where(ids_np % 3 == 0, "www.", ""), pa.string())
+        name = pc.if_else(pa.array(ids_np % 7 == 0), pc.utf8_upper(src), src)
+        tld = pa.array(np.where(ids_np % 2 == 0, ".co.uk", ".com"), pa.string())
+        port = pa.array(np.where(ids_np % 11 == 0, ":8080", ""), pa.string())
+        query = pc.if_else(
+            pa.array(ids_np % 5 == 0),
+            pc.binary_join_element_wise("?utm_source=", ids_s, ""),
+            pa.scalar("", pa.string()),
+        )
+        url = pc.binary_join_element_wise(
+            "https://", www, name, tld, port, "/p/", ids_s, query, ""
+        )
+        return pa.table({"doc_id": ids, "url": url})
+
+    return ds.map_batches(synth, batch_format="pyarrow")
+
+
+def q_url_parse(sf_dir: str):
+    """URL normalization: host casefold + port strip, public-suffix-aware
+    registered domain, query/fragment-free canonical form — one Arrow RE2
+    pass per component, map-only (DuckDB re-derives each with its own
+    regexp functions)."""
+    from ..stages.urls import make_url_parse_batch
+
+    return _synth_url_documents(sf_dir).map_batches(
+        make_url_parse_batch("url", "doc_id"), batch_format="pyarrow"
+    )
+
+
+def q_domain_quota(sf_dir: str):
+    """Per-registered-domain quota (template-farm defense): keep the 3
+    lowest-doc_id pages of each domain; one domain-hash exchange, ranks
+    computed by per-partition lexsort (DuckDB: QUALIFY row_number())."""
+    from ..stages.urls import domain_quota, make_url_parse_batch
+
+    parsed = _synth_url_documents(sf_dir).map_batches(
+        make_url_parse_batch("url", "doc_id"), batch_format="pyarrow"
+    )
+    return domain_quota(parsed, "registered_domain", "doc_id", k=3, num_partitions=16)
