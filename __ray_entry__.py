@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # URL canonicalization / per-domain corpus shaping
         "url_parse": q.q_url_parse,
         "domain_quota": q.q_domain_quota,
+        # end-to-end fuzzy dedup (clusters -> winners -> filtered corpus)
+        "fuzzy_dedup_keepers": q.q_fuzzy_dedup_keepers,
     }
 
 
@@ -493,6 +495,15 @@ def oracle_sql() -> dict[str, str]:
             "AS canonical_url FROM parsed) "
             "SELECT * FROM comp QUALIFY "
             "row_number() OVER (PARTITION BY registered_domain ORDER BY doc_id) <= 3"
+        ),
+        "fuzzy_dedup_keepers": (
+            # winner/loser/filter composition re-derived in SQL from the
+            # PINNED clustering (losers = members whose id isn't the
+            # cluster minimum) — independent given minhash_clusters
+            "SELECT doc_id FROM documents WHERE doc_id NOT IN ("
+            "SELECT id FROM "
+            "read_parquet('/root/repo/golden/minhash_clusters.parquet') "
+            "WHERE id != cluster_id)"
         ),
     }
 

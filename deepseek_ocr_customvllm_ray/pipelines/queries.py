@@ -1184,3 +1184,16 @@ def q_domain_quota(sf_dir: str):
         make_url_parse_batch("url", "doc_id"), batch_format="pyarrow"
     )
     return domain_quota(parsed, "registered_domain", "doc_id", k=3, num_partitions=16)
+
+
+def q_fuzzy_dedup_keepers(sf_dir: str):
+    """End-to-end fuzzy dedup: corpus minus MinHash-LSH cluster losers
+    (winner = cluster-minimum id).  The oracle re-derives the winner /
+    loser / filter composition in SQL from the pinned minhash_clusters
+    snapshot, so this checks the composition independently given the
+    clustering."""
+    from ..stages.dedup import fuzzy_dedup_keepers
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    kept = fuzzy_dedup_keepers(ds, "text", "doc_id", threshold=0.8)
+    return kept.select_columns(["doc_id"])

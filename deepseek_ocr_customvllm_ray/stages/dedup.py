@@ -943,3 +943,122 @@ def embedding_near_dup_pairs(
     return _dedup_pairs_ds(
         per_set[0].union(per_set[1]), "cosine", pa.float64(), num_partitions
     )
+
+
+def fuzzy_dedup_keepers(
+    ds,
+    text_col: str,
+    id_col: str,
+    strategy: str = "broadcast",
+    num_partitions: int = 16,
+    **minhash_kw,
+):
+    """End-to-end near-dup dedup: the corpus minus MinHash-LSH losers.
+
+    Composes :func:`minhash_near_dup_clusters_ds` (cluster label = min id
+    of the similarity component) with winner selection — the cluster
+    representative is the member whose id IS the label, every other member
+    is a loser — and a corpus filter that keeps all original columns.
+    This is the "give me the deduplicated corpus" operator (GPT-3 /
+    Gopher-style fuzzy dedup); the clustering/query building blocks stay
+    available separately.
+
+    ``strategy``:
+
+    * ``"broadcast"`` (default) — loser ids (a small fraction of the
+      corpus at near-dup thresholds) are concatenated into ONE sorted
+      int64 array inside a Ray task, ``ray.put`` once, and every filter
+      task drops members via a zero-copy ``searchsorted`` probe.  Corpus
+      payload bytes never enter an all-to-all.
+    * ``"shuffle"`` — tagged-union anti-join co-partitioned on id, for
+      corpora whose duplicate fraction is too large for a broadcast array
+      (ships payload bytes through one exchange, but never concentrates
+      loser ids on one node).
+    """
+    import ray
+
+    from .partition import with_hash_partition_int
+
+    clusters = minhash_near_dup_clusters_ds(
+        ds, text_col, id_col, num_partitions=num_partitions, **minhash_kw
+    )
+
+    def loser_rows(batch: pa.Table) -> pa.Table:
+        lose = pc.not_equal(batch["id"], batch["cluster_id"])
+        return pa.table({"id": batch["id"].filter(lose)})
+
+    losers = clusters.map_batches(loser_rows, batch_format="pyarrow")
+
+    if strategy == "broadcast":
+        def _gather(refs):
+            tables = ray.get(refs)
+            ids = np.concatenate(
+                [t["id"].to_numpy(zero_copy_only=False) for t in tables]
+                or [np.array([], dtype=np.int64)]
+            )
+            return np.sort(ids.astype(np.int64))
+
+        loser_ref = ray.remote(num_cpus=1)(_gather).remote(
+            list(losers.materialize().to_arrow_refs())
+        )
+
+        def keep(batch: pa.Table) -> pa.Table:
+            loser_ids = ray.get(loser_ref)  # zero-copy plasma read
+            ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(loser_ids, ids)
+            pos_c = np.minimum(pos, max(len(loser_ids) - 1, 0))
+            member = (
+                (pos < len(loser_ids)) & (loser_ids[pos_c] == ids)
+                if len(loser_ids)
+                else np.zeros(len(ids), dtype=bool)
+            )
+            return batch.filter(pa.array(~member))
+
+        return ds.map_batches(keep, batch_format="pyarrow")
+
+    if strategy != "shuffle":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    # anti-join: corpus rows tagged _lose=0, loser ids tagged _lose=1,
+    # co-partitioned on id; each partition drops ids with any loser row.
+    # Schema captured EAGERLY as plain (name, type) pairs — referencing the
+    # Dataset inside a closure would serialize the whole plan per task.
+    sch = ds.schema()
+    col_types = list(zip(sch.names, sch.types))
+    cols = [n for n, _ in col_types]
+
+    def tag_corpus(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_lose", pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        )
+
+    def tag_losers(batch: pa.Table) -> pa.Table:
+        t = pa.table({id_col: batch["id"].cast(pa.int64())})
+        for c, typ in col_types:
+            if c != id_col:
+                t = t.append_column(c, pa.nulls(batch.num_rows, typ))
+        return t.select(cols).append_column(
+            "_lose", pa.array(np.ones(batch.num_rows, dtype=np.int8))
+        )
+
+    tagged = ds.map_batches(tag_corpus, batch_format="pyarrow").union(
+        losers.map_batches(tag_losers, batch_format="pyarrow")
+    )
+    parts = with_hash_partition_int(tagged, id_col, num_partitions)
+
+    def anti(t: pa.Table) -> pa.Table:
+        lose_mask = t["_lose"].to_numpy(zero_copy_only=False) == 1
+        loser_ids = np.sort(
+            t.filter(pa.array(lose_mask))[id_col].to_numpy(zero_copy_only=False)
+        )
+        body = t.filter(pa.array(~lose_mask))
+        ids = body[id_col].to_numpy(zero_copy_only=False)
+        if len(loser_ids):
+            pos = np.searchsorted(loser_ids, ids)
+            pos_c = np.minimum(pos, len(loser_ids) - 1)
+            member = (pos < len(loser_ids)) & (loser_ids[pos_c] == ids)
+        else:
+            member = np.zeros(len(ids), dtype=bool)
+        return body.filter(pa.array(~member)).drop_columns(["_lose", "_part"])
+
+    return parts.groupby("_part").map_groups(anti, batch_format="pyarrow")

@@ -384,3 +384,78 @@ class TestNgramVerifyMissingEndpoint:
             ds, rd.from_arrow(pairs), "text", "doc_id", threshold=0.0
         ).to_pandas()
         assert set(zip(out["id_a"], out["id_b"])) == {(0, 1)}
+
+
+class TestFuzzyDedupKeepers:
+    """End-to-end corpus filter composed from the distributed clustering."""
+
+    @staticmethod
+    def _corpus():
+        base = "the quick brown fox jumps over the lazy dog again and again "
+        texts, ids = [], []
+        for i in range(30):
+            if i % 3 == 0:
+                t = base + "tail marker shared by the near dup family"
+            else:
+                t = f"unique document {i} " + " ".join(
+                    f"tok{i}w{j}" for j in range(20)
+                )
+            ids.append(i)
+            texts.append(t)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+
+    def _expected(self, t, **kw):
+        from deepseek_ocr_customvllm_ray.stages.dedup import (
+            minhash_near_dup_clusters_ds,
+        )
+        import ray.data as rd
+
+        cl = minhash_near_dup_clusters_ds(
+            rd.from_arrow(t), "text", "doc_id", **kw
+        ).to_pandas()
+        losers = set(cl[cl["id"] != cl["cluster_id"]]["id"])
+        return sorted(set(t["doc_id"].to_pylist()) - losers)
+
+    def test_strategies_agree_and_match_clusters(self, ray_session):
+        from deepseek_ocr_customvllm_ray.stages.dedup import fuzzy_dedup_keepers
+        import ray.data as rd
+
+        t = self._corpus()
+        kw = dict(threshold=0.5, num_perm=32, n_bands=8)
+        expected = self._expected(t, **kw)
+        assert len(expected) < 30  # the near-dup family actually collapses
+        for strategy in ("broadcast", "shuffle"):
+            out = fuzzy_dedup_keepers(
+                rd.from_arrow(t), "text", "doc_id", strategy=strategy,
+                num_partitions=4, **kw
+            ).to_pandas().sort_values("doc_id")
+            assert list(out["doc_id"]) == expected, strategy
+            assert list(out.columns) == ["doc_id", "text"], strategy
+
+    def test_no_dups_keeps_everything(self, ray_session):
+        from deepseek_ocr_customvllm_ray.stages.dedup import fuzzy_dedup_keepers
+        import ray.data as rd
+
+        t = pa.table({
+            "doc_id": pa.array(range(8), pa.int64()),
+            "text": pa.array(
+                [" ".join(f"w{i}x{j}" for j in range(15)) for i in range(8)],
+                pa.string(),
+            ),
+        })
+        out = fuzzy_dedup_keepers(
+            rd.from_arrow(t), "text", "doc_id", threshold=0.8, num_partitions=2
+        ).to_pandas()
+        assert sorted(out["doc_id"]) == list(range(8))
+
+    def test_unknown_strategy_rejected(self, ray_session):
+        from deepseek_ocr_customvllm_ray.stages.dedup import fuzzy_dedup_keepers
+        import ray.data as rd
+
+        with pytest.raises(ValueError):
+            fuzzy_dedup_keepers(
+                rd.from_arrow(self._corpus()), "text", "doc_id", strategy="bogus"
+            ).to_pandas()
