@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_quota": q.q_domain_quota,
         # end-to-end fuzzy dedup (clusters -> winners -> filtered corpus)
         "fuzzy_dedup_keepers": q.q_fuzzy_dedup_keepers,
+        # Gopher-style repetition signals
+        "repetition_stats": q.q_repetition_stats,
     }
 
 
@@ -504,6 +506,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id FROM "
             "read_parquet('/root/repo/golden/minhash_clusters.parquet') "
             "WHERE id != cluster_id)"
+        ),
+        "repetition_stats": (
+            # words via regexp_extract_all, bigrams via lead() per doc;
+            # chr(31) join is a safe pair key (words never contain \x1f)
+            "WITH w AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(trim(text), '\\S+')) AS w, "
+            "generate_subscripts(regexp_extract_all(trim(text), '\\S+'), 1) AS i "
+            "FROM documents WHERE text IS NOT NULL AND trim(text) != ''), "
+            "wc AS (SELECT doc_id, count(*) AS n_words FROM w GROUP BY doc_id), "
+            "bi AS (SELECT doc_id, w || chr(31) || "
+            "lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS g FROM w), "
+            "bs AS (SELECT doc_id, count(*) AS n_bigrams, "
+            "count(DISTINCT g) AS n_distinct_bigrams FROM bi "
+            "WHERE g IS NOT NULL GROUP BY doc_id), "
+            "tp AS (SELECT doc_id, max(c) AS top_word_n FROM "
+            "(SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w) "
+            "GROUP BY doc_id) "
+            "SELECT wc.doc_id, n_words, "
+            "coalesce(n_bigrams, 0) AS n_bigrams, "
+            "coalesce(n_distinct_bigrams, 0) AS n_distinct_bigrams, "
+            "top_word_n FROM wc "
+            "LEFT JOIN bs ON wc.doc_id = bs.doc_id "
+            "JOIN tp ON wc.doc_id = tp.doc_id"
         ),
     }
 

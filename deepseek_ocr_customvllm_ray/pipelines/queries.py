@@ -1197,3 +1197,14 @@ def q_fuzzy_dedup_keepers(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     kept = fuzzy_dedup_keepers(ds, "text", "doc_id", threshold=0.8)
     return kept.select_columns(["doc_id"])
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition signals per doc: word/bigram/distinct-bigram
+    counts and top-word dominance, one vectorized map pass (DuckDB
+    re-derives them with window lead() + GROUP BY)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        analysis.make_repetition_stats_batch("text", "doc_id"),
+        batch_format="pyarrow",
+    )

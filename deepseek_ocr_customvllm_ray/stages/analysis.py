@@ -4,6 +4,7 @@ fingerprinting — vectorized ``map_batches`` wrappers over
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -163,3 +164,119 @@ def make_bpe_token_count_batch(text_col: str, id_col: str):
         })
 
     return fn
+
+
+def make_repetition_stats_batch(text_col: str, id_col: str):
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1), map-only.
+
+    Per document: word count, word-bigram count / distinct count (the
+    duplicate-bigram fraction numerator/denominator) and the top single
+    word's occurrence count (top-word dominance).  Null/whitespace-only
+    docs are dropped, as in the other per-doc analysis kernels.
+
+    Fully vectorized: ONE ``split_pattern_regex`` over the batch, words
+    factorized to int codes with ``np.unique``, bigram/dominance stats by
+    lexsort + run-boundary arithmetic on the flattened code array — no
+    Python loop over rows or words.  Downstream filters derive fractions
+    (e.g. ``1 - n_distinct_bigrams/n_bigrams > 0.2``) from the raw ints;
+    emitting ints keeps the contract exact across engines.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch[text_col])
+        keep = pc.fill_null(pc.greater(pc.utf8_length(trimmed), 0), False)
+        ids = batch[id_col].filter(keep).cast(pa.int64())
+        lists = pc.split_pattern_regex(trimmed.filter(keep), pattern=r"\s+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        n = len(ids)
+        if n == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "n_words": pa.array([], pa.int64()),
+                "n_bigrams": pa.array([], pa.int64()),
+                "n_distinct_bigrams": pa.array([], pa.int64()),
+                "top_word_n": pa.array([], pa.int64()),
+            })
+        offsets = lists.offsets.to_numpy().astype(np.int64)
+        offsets = offsets - offsets[0]
+        counts = offsets[1:] - offsets[:-1]
+        words = np.asarray(lists.flatten().to_pylist(), dtype=object)
+        codes = np.unique(words, return_inverse=True)[1].astype(np.int64)
+        doc_ix = np.repeat(np.arange(n, dtype=np.int64), counts)
+
+        # --- top-word dominance: run lengths of (doc, code) after sort
+        order = np.lexsort((codes, doc_ix))
+        d_s, c_s = doc_ix[order], codes[order]
+        new_run = np.empty(len(d_s), dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+        run_start = np.flatnonzero(new_run)
+        run_len = np.diff(np.append(run_start, len(d_s)))
+        top = np.zeros(n, dtype=np.int64)
+        np.maximum.at(top, d_s[run_start], run_len)
+
+        # --- bigrams: adjacent pairs within a doc
+        pos_in_doc = np.arange(len(doc_ix)) - np.repeat(offsets[:-1], counts)
+        has_next = pos_in_doc < np.repeat(counts, counts) - 1
+        b_doc = doc_ix[has_next]
+        b1 = codes[has_next]
+        b2 = codes[1:][has_next[:-1]] if len(codes) else codes[:0]
+        n_bigrams = np.maximum(counts - 1, 0)
+        if len(b_doc):
+            order2 = np.lexsort((b2, b1, b_doc))
+            bd, x1, x2 = b_doc[order2], b1[order2], b2[order2]
+            uniq = np.empty(len(bd), dtype=bool)
+            uniq[0] = True
+            uniq[1:] = (bd[1:] != bd[:-1]) | (x1[1:] != x1[:-1]) | (x2[1:] != x2[:-1])
+            n_distinct = np.bincount(bd[uniq], minlength=n).astype(np.int64)
+        else:
+            n_distinct = np.zeros(n, dtype=np.int64)
+
+        return pa.table({
+            id_col: ids,
+            "n_words": pa.array(counts, pa.int64()),
+            "n_bigrams": pa.array(n_bigrams, pa.int64()),
+            "n_distinct_bigrams": pa.array(n_distinct, pa.int64()),
+            "top_word_n": pa.array(top, pa.int64()),
+        })
+
+    return fn
+
+
+def repetition_filter(
+    ds,
+    text_col: str,
+    id_col: str,
+    max_dup_bigram_frac: float = 0.2,
+    max_top_word_frac: float = 0.3,
+    min_words: int = 1,
+):
+    """Drop repetitive documents by the Gopher thresholds.
+
+    Keeps rows whose duplicate-bigram fraction (``1 - distinct/total``,
+    0 for docs with <2 words) and top-word fraction stay at or below the
+    caps.  Returns ``(id, n_words)`` for the survivors; map-only — join
+    back to the corpus by id, or inline the stats kernel into a wider
+    pipeline where the payload should stay put.
+    """
+
+    stats = ds.map_batches(
+        make_repetition_stats_batch(text_col, id_col), batch_format="pyarrow"
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        nb = batch["n_bigrams"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nd = batch["n_distinct_bigrams"].to_numpy(zero_copy_only=False)
+        nw = batch["n_words"].to_numpy(zero_copy_only=False)
+        top = batch["top_word_n"].to_numpy(zero_copy_only=False)
+        dup_frac = np.where(nb > 0, 1.0 - nd / np.maximum(nb, 1), 0.0)
+        ok = (
+            (dup_frac <= max_dup_bigram_frac)
+            & (top / np.maximum(nw, 1) <= max_top_word_frac)
+            & (nw >= min_words)
+        )
+        out = batch.filter(pa.array(ok))
+        return pa.table({id_col: out[id_col], "n_words": out["n_words"]})
+
+    return stats.map_batches(keep, batch_format="pyarrow")

@@ -119,3 +119,73 @@ def test_token_diversity_counts():
     assert out["doc_id"].to_pylist() == [0, 1]
     assert out["n_tokens"].to_pylist() == [5, 3]
     assert out["n_distinct_tokens"].to_pylist() == [2, 3]
+
+
+class TestRepetitionStats:
+    """Gopher-style repetition signals (stages/analysis.py)."""
+
+    @staticmethod
+    def _stats(texts):
+        from deepseek_ocr_customvllm_ray.stages.analysis import (
+            make_repetition_stats_batch,
+        )
+
+        return make_repetition_stats_batch("text", "doc_id")(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }))
+
+    def test_hand_computed(self):
+        out = self._stats([
+            "a b a b a",      # bigrams: ab ba ab ba -> 4 total, 2 distinct; top a=3
+            "x y z",          # 2 bigrams, 2 distinct, top 1
+            "w",              # no bigrams
+        ])
+        assert out["n_words"].to_pylist() == [5, 3, 1]
+        assert out["n_bigrams"].to_pylist() == [4, 2, 0]
+        assert out["n_distinct_bigrams"].to_pylist() == [2, 2, 0]
+        assert out["top_word_n"].to_pylist() == [3, 1, 1]
+
+    def test_null_and_blank_dropped(self):
+        out = self._stats([None, "", "  ", "ok fine"])
+        assert out["doc_id"].to_pylist() == [3]
+
+    def test_serial_parity_randomized(self):
+        from collections import Counter
+        import random
+
+        rng = random.Random(11)
+        texts = [
+            " ".join(rng.choice(["a", "b", "cc", "d"]) for _ in range(rng.randint(1, 25)))
+            for _ in range(150)
+        ]
+        out = self._stats(texts)
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_bigrams"],
+                          r["n_distinct_bigrams"], r["top_word_n"])
+            for r in out.to_pylist()
+        }
+        for i, t in enumerate(texts):
+            w = t.split()
+            bg = list(zip(w, w[1:]))
+            assert got[i] == (len(w), len(bg), len(set(bg)),
+                              max(Counter(w).values())), i
+
+    def test_repetition_filter_thresholds(self, ray_session):
+        import ray.data as rd
+
+        from deepseek_ocr_customvllm_ray.stages.analysis import repetition_filter
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array([
+                "spam spam spam spam spam spam",      # top-word + dup bigrams
+                "clean prose with many different words here",
+                "tiny",
+            ], pa.string()),
+        })
+        out = repetition_filter(
+            rd.from_arrow(t), "text", "doc_id",
+            max_dup_bigram_frac=0.2, max_top_word_frac=0.5, min_words=2,
+        ).to_pandas()
+        assert sorted(out["doc_id"]) == [1]
