@@ -97,6 +97,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_dedup_keepers": q.q_fuzzy_dedup_keepers,
         # Gopher-style repetition signals
         "repetition_stats": q.q_repetition_stats,
+        # composition pipelines (canonical-url dedup; C4+Gopher+dedup)
+        "url_dedup": q.q_url_dedup,
+        "clean_corpus": q.q_clean_corpus,
     }
 
 
@@ -529,6 +532,69 @@ def oracle_sql() -> dict[str, str]:
             "top_word_n FROM wc "
             "LEFT JOIN bs ON wc.doc_id = bs.doc_id "
             "JOIN tp ON wc.doc_id = tp.doc_id"
+        ),
+        "url_dedup": (
+            # same synthesis as url_parse but path repeats mod 50, so the
+            # canonical form (case/port/www/query stripped) has real
+            # duplicate groups; keeper = min doc_id per canonical url
+            "WITH src AS (SELECT doc_id, 'https://' "
+            "|| CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END "
+            "|| CASE WHEN doc_id % 7 = 0 THEN upper(source) ELSE source END "
+            "|| CASE WHEN doc_id % 2 = 0 THEN '.co.uk' ELSE '.com' END "
+            "|| CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END "
+            "|| '/p/' || (doc_id % 50) "
+            "|| CASE WHEN doc_id % 5 = 0 THEN '?utm_source=' || doc_id ELSE '' END "
+            "AS url FROM documents), "
+            "parsed AS (SELECT doc_id, "
+            "regexp_replace(lower(regexp_extract(url, '^https?://([^/?#]+)', 1)), "
+            "':[0-9]+$', '') AS host, "
+            "coalesce(nullif(regexp_extract(url, '^https?://[^/?#]+(/[^?#]*)', 1), "
+            "''), '/') AS path FROM src), "
+            "canon AS (SELECT doc_id, 'https://' "
+            "|| regexp_replace(host, '^www\\.', '') || path AS canonical_url "
+            "FROM parsed) "
+            "SELECT min(doc_id) AS doc_id, canonical_url "
+            "FROM canon GROUP BY canonical_url"
+        ),
+        "clean_corpus": (
+            # C4 line filter -> Gopher repetition gate (integer
+            # cross-multiplied thresholds) -> exact dedup over the corpus
+            # plus a re-labeled clone of every 7th doc (which dedup must
+            # remove); same synthesis on both sides
+            "WITH src AS (SELECT doc_id, replace(text, ' sort ', chr(10)) AS t "
+            "FROM documents WHERE text IS NOT NULL AND length(text) > 0), "
+            "lines AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line, "
+            "generate_subscripts(string_split(t, chr(10)), 1) AS idx FROM src), "
+            "flagged AS (SELECT doc_id, line, idx, "
+            "(len(regexp_extract_all(line, '\\S+')) >= 5 "
+            "AND NOT contains(line, 'slow')) AS keep FROM lines), "
+            "docs AS (SELECT doc_id, "
+            "string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE keep) AS text "
+            "FROM flagged GROUP BY doc_id "
+            "HAVING count(*) FILTER (WHERE keep) > 0), "
+            "w AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(trim(text), '\\S+')) AS w, "
+            "generate_subscripts(regexp_extract_all(trim(text), '\\S+'), 1) AS i "
+            "FROM docs), "
+            "wc AS (SELECT doc_id, count(*) AS n_words FROM w GROUP BY doc_id), "
+            "bi AS (SELECT doc_id, w || chr(31) || "
+            "lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS g FROM w), "
+            "bs AS (SELECT doc_id, count(*) AS nb, count(DISTINCT g) AS nd "
+            "FROM bi WHERE g IS NOT NULL GROUP BY doc_id), "
+            "tp AS (SELECT doc_id, max(c) AS top FROM "
+            "(SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w) "
+            "GROUP BY doc_id), "
+            "gated AS (SELECT d.doc_id, d.text FROM docs d "
+            "JOIN wc ON d.doc_id = wc.doc_id "
+            "LEFT JOIN bs ON d.doc_id = bs.doc_id "
+            "JOIN tp ON d.doc_id = tp.doc_id "
+            "WHERE (coalesce(nb, 0) - coalesce(nd, 0)) * 10 <= coalesce(nb, 0) "
+            "AND top * 10 <= n_words * 2), "
+            "unioned AS (SELECT doc_id, text FROM gated UNION ALL "
+            "SELECT doc_id + 10000 AS doc_id, text FROM gated "
+            "WHERE doc_id % 7 = 0) "
+            "SELECT min(doc_id) AS doc_id, text "
+            "FROM unioned GROUP BY text"
         ),
     }
 

@@ -155,6 +155,7 @@ def run_bench() -> dict:
     timed("line_filter", q.q_line_filter)
     timed("paragraph_dedup", q.q_paragraph_dedup)
     timed("domain_quota", q.q_domain_quota)
+    timed("clean_corpus", q.q_clean_corpus)
 
     out = {
         "metric": "extract_e2e_sec",

@@ -1130,14 +1130,16 @@ def q_paragraph_dedup(sf_dir: str):
 # --- URL canonicalization / domain shaping (stages/urls.py) ---------------
 
 
-def _synth_url_documents(sf_dir: str):
+def _synth_url_documents(sf_dir: str, path_mod: int | None = None):
     """documents with a deterministic synthetic ``url`` column.
 
     The documents table has no URLs, so the URL operators synthesize one
     per doc — mixed-case hosts, www. prefixes, two TLD families (one on
     the public-suffix sample), occasional ports and query strings — with
     the SAME expression in the oracle SQL, exercising every normalization
-    branch non-vacuously and independently checkably."""
+    branch non-vacuously and independently checkably.  With ``path_mod``
+    the path repeats mod that value, so canonicalization produces real
+    duplicate groups (the url-dedup corpus)."""
     ds = _read(sf_dir, "documents", ["doc_id", "source"])
 
     def synth(batch: pa.Table) -> pa.Table:
@@ -1154,8 +1156,13 @@ def _synth_url_documents(sf_dir: str):
             pc.binary_join_element_wise("?utm_source=", ids_s, ""),
             pa.scalar("", pa.string()),
         )
+        path_s = (
+            ids_s
+            if path_mod is None
+            else pa.array(ids_np % path_mod).cast(pa.string())
+        )
         url = pc.binary_join_element_wise(
-            "https://", www, name, tld, port, "/p/", ids_s, query, ""
+            "https://", www, name, tld, port, "/p/", path_s, query, ""
         )
         return pa.table({"doc_id": ids, "url": url})
 
@@ -1208,3 +1215,64 @@ def q_repetition_stats(sf_dir: str):
         analysis.make_repetition_stats_batch("text", "doc_id"),
         batch_format="pyarrow",
     )
+
+
+def q_url_dedup(sf_dir: str):
+    """URL-canonical dedup: normalize urls (case/port/www/query stripped),
+    keep the min-doc_id page per canonical form.  The synthesized paths
+    repeat mod 50 so canonicalization creates REAL duplicate groups that
+    the raw urls don't have."""
+    from ..stages.dedup import exact_dedup_shuffle
+    from ..stages.urls import make_url_parse_batch
+
+    parsed = _synth_url_documents(sf_dir, path_mod=50).map_batches(
+        make_url_parse_batch("url", "doc_id"), batch_format="pyarrow"
+    )
+    kept = exact_dedup_shuffle(parsed, "canonical_url", "doc_id", num_partitions=16)
+    return kept.select_columns(["doc_id", "canonical_url"])
+
+
+def q_clean_corpus(sf_dir: str):
+    """Flagship corpus-cleaning composition: C4 line filter -> Gopher
+    repetition gate -> exact dedup, all streaming map/shuffle stages.
+
+    The repetition gate uses integer cross-multiplication
+    ((nb-nd)*10 <= nb, top*10 <= n_words*2) so the thresholds are exact
+    in both engines; the dedup stage is made non-vacuous by unioning a
+    deterministically re-labeled clone of every 7th doc (same trick on
+    the SQL side), which dedup must then remove."""
+    from ..stages.analysis import make_repetition_stats_batch
+    from ..stages.dedup import exact_dedup_shuffle
+    from ..stages.lines import make_line_filter_batch
+
+    filtered = _lined_documents(sf_dir).map_batches(
+        make_line_filter_batch("text", "doc_id", min_words=5, badwords=("slow",)),
+        batch_format="pyarrow",
+    )
+    stats_fn = make_repetition_stats_batch("text", "doc_id")
+
+    def rep_gate(batch: pa.Table) -> pa.Table:
+        stats = stats_fn(batch)
+        nb = stats["n_bigrams"].to_numpy(zero_copy_only=False)
+        nd = stats["n_distinct_bigrams"].to_numpy(zero_copy_only=False)
+        nw = stats["n_words"].to_numpy(zero_copy_only=False)
+        top = stats["top_word_n"].to_numpy(zero_copy_only=False)
+        ok = ((nb - nd) * 10 <= nb) & (top * 10 <= nw * 2)
+        ok_ids = stats["doc_id"].filter(pa.array(ok))
+        mask = pc.is_in(batch["doc_id"], value_set=ok_ids)
+        out = batch.filter(mask)
+        return pa.table({"doc_id": out["doc_id"], "text": out["text"]})
+
+    gated = filtered.map_batches(rep_gate, batch_format="pyarrow")
+
+    def clone(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pick = ids % 7 == 0
+        return pa.table({
+            "doc_id": pa.array(ids[pick] + 10_000, pa.int64()),
+            "text": batch["text"].filter(pa.array(pick)),
+        })
+
+    with_clones = gated.union(gated.map_batches(clone, batch_format="pyarrow"))
+    kept = exact_dedup_shuffle(with_clones, "text", "doc_id", num_partitions=16)
+    return kept.select_columns(["doc_id", "text"])

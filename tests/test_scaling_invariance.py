@@ -71,7 +71,8 @@ for name in ("q_minhash_clusters", "q_ngram_jaccard_pairs", "q_simhash_signature
              "q_approx_distinct_texts", "q_orders_customer_join",
              "q_pack_sequences", "q_sample_documents", "q_word_frequencies",
              "q_shingle_decontam", "q_epoch_shuffle", "q_token_diversity",
-             "q_line_filter", "q_paragraph_dedup", "q_domain_quota"):
+             "q_line_filter", "q_paragraph_dedup", "q_domain_quota",
+             "q_clean_corpus", "q_url_dedup"):
     res = getattr(q, name)(%(sf)r)
     df = res.to_pandas() if hasattr(res, "to_pandas") else res
     df = df[sorted(df.columns)]
