@@ -110,7 +110,8 @@ def _run(ray_session, rows, **kw):
     }
 
 
-def test_paragraph_dedup_hand_computed(ray_session):
+@pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+def test_paragraph_dedup_hand_computed(ray_session, strategy):
     rows = [
         (1, "alpha\nbeta\nalpha"),     # within-doc repeat: idx 2 cut
         (2, "beta\ngamma"),            # beta already owned by doc 1
@@ -118,7 +119,7 @@ def test_paragraph_dedup_hand_computed(ray_session):
         (4, None),                     # null -> dropped
         (5, "delta"),                  # untouched
     ]
-    got = _run(ray_session, rows, num_partitions=4)
+    got = _run(ray_session, rows, num_partitions=4, strategy=strategy)
     assert got == {
         1: ("alpha\nbeta", 3, 2),
         2: ("gamma", 2, 1),
@@ -143,8 +144,9 @@ def test_paragraph_dedup_matches_serial_reference(ray_session):
         for doc_id in range(60)
     ]
     for parts in (3, 16):
-        got = _run(ray_session, rows, num_partitions=parts)
-        assert got == _serial_paragraph_dedup(rows), parts
+        for strategy in ("broadcast", "shuffle"):
+            got = _run(ray_session, rows, num_partitions=parts, strategy=strategy)
+            assert got == _serial_paragraph_dedup(rows), (parts, strategy)
 
 
 def test_paragraph_dedup_empty_paragraphs_dedup_too(ray_session):
