@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # composition pipelines (canonical-url dedup; C4+Gopher+dedup)
         "url_dedup": q.q_url_dedup,
         "clean_corpus": q.q_clean_corpus,
+        # cross-snapshot incremental dedup (new dump vs prior dump index)
+        "snapshot_dedup": q.q_snapshot_dedup,
     }
 
 
@@ -117,6 +119,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "exact_dedup_keepers": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "snapshot_dedup": (
+            # independent anti-join on the text itself (the engine probes
+            # a sorted 64-bit content-digest index of the prior snapshot)
+            "SELECT d.doc_id, d.n_chars FROM documents d "
+            "WHERE NOT EXISTS (SELECT 1 FROM documents p "
+            "WHERE p.doc_id % 3 = 0 "
+            "AND coalesce(p.text, '') = coalesce(d.text, ''))"
         ),
         "token_counts": (
             "SELECT doc_id, CAST(CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) = '' THEN 0 ELSE "

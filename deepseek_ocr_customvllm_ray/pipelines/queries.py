@@ -1276,3 +1276,25 @@ def q_clean_corpus(sf_dir: str):
     with_clones = gated.union(gated.map_batches(clone, batch_format="pyarrow"))
     kept = exact_dedup_shuffle(with_clones, "text", "doc_id", num_partitions=16)
     return kept.select_columns(["doc_id", "text"])
+
+
+def q_snapshot_dedup(sf_dir: str):
+    """Cross-snapshot incremental dedup (CCNet / FineWeb pattern): a new
+    crawl dump is filtered against the PRIOR snapshot's sorted
+    content-digest index — index broadcast once via the object store,
+    probe is map-only (the new crawl never shuffles).  Prior snapshot =
+    docs with doc_id % 3 == 0, so the new crawl "re-crawled" a third of
+    its pages byte-identically; those must drop.  The DuckDB oracle
+    anti-joins on the text itself — an independent check of the
+    digest-membership semantics (64-bit blake2b collisions are the only
+    theoretical divergence, ~0 at any feasible scale)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def every_3rd(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 3 == 0))
+
+    prior = ds.map_batches(every_3rd, batch_format="pyarrow")
+    index = dedup.build_text_digest_index(prior, "text")
+    kept = dedup.dedup_against_index(ds, "text", index)
+    return kept.select_columns(["doc_id", "n_chars"])

@@ -459,3 +459,79 @@ class TestFuzzyDedupKeepers:
             fuzzy_dedup_keepers(
                 rd.from_arrow(self._corpus()), "text", "doc_id", strategy="bogus"
             ).to_pandas()
+
+
+# --- cross-snapshot incremental dedup ------------------------------------
+
+
+class TestSnapshotDedup:
+    """build_text_digest_index + dedup_against_index (CCNet/FineWeb-style
+    incremental dedup of a new dump against the prior dumps' index)."""
+
+    def _tbl(self, ids, texts):
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+
+    def test_drops_exact_matches_only(self, ray_session):
+        import ray.data as rd
+
+        prior = rd.from_arrow(self._tbl([0, 1], ["alpha beta", "gamma delta"]))
+        new = rd.from_arrow(self._tbl(
+            [10, 11, 12, 13],
+            ["alpha beta", "gamma delta", "alpha beta!", "epsilon zeta"],
+        ))
+        idx = dedup.build_text_digest_index(prior, "text")
+        out = dedup.dedup_against_index(new, "text", idx).to_pandas()
+        assert sorted(out["doc_id"]) == [12, 13]
+        assert list(out.columns) == ["doc_id", "text"]  # all cols pass through
+
+    def test_no_false_positives_on_disjoint_prior(self, ray_session):
+        import ray.data as rd
+
+        prior = rd.from_arrow(self._tbl(
+            list(range(50)), [f"prior text number {i}" for i in range(50)]
+        ))
+        new = rd.from_arrow(self._tbl(
+            list(range(30)), [f"new text number {i}" for i in range(30)]
+        ))
+        idx = dedup.build_text_digest_index(prior, "text")
+        out = dedup.dedup_against_index(new, "text", idx).to_pandas()
+        assert sorted(out["doc_id"]) == list(range(30))
+
+    def test_empty_prior_keeps_everything(self, ray_session):
+        import ray.data as rd
+
+        prior = rd.from_arrow(self._tbl([], [])).filter(lambda r: False)
+        new = rd.from_arrow(self._tbl([1, 2], ["a", "b"]))
+        idx = dedup.build_text_digest_index(prior, "text")
+        out = dedup.dedup_against_index(new, "text", idx).to_pandas()
+        assert sorted(out["doc_id"]) == [1, 2]
+
+    def test_null_text_equals_empty_string(self, ray_session):
+        # contract: null text digests as "" (matches the oracle's
+        # coalesce(text, '') anti-join semantics)
+        import ray.data as rd
+
+        prior = rd.from_arrow(self._tbl([0], [""]))
+        new = rd.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([None, "", "x"], pa.string()),
+        }))
+        idx = dedup.build_text_digest_index(prior, "text")
+        out = dedup.dedup_against_index(new, "text", idx).to_pandas()
+        assert sorted(out["doc_id"]) == [3]
+
+    def test_index_is_sorted_unique_uint64(self, ray_session):
+        import ray
+        import ray.data as rd
+
+        prior = rd.from_arrow(self._tbl(
+            [0, 1, 2, 3], ["dup", "dup", "one", "two"]
+        ))
+        idx = ray.get(dedup.build_text_digest_index(prior, "text"))
+        assert idx.dtype == np.uint64
+        assert len(idx) == 3  # deduplicated
+        assert (np.diff(idx.astype(np.uint64).view(np.int64)) != 0).all()
+        assert (np.sort(idx) == idx).all()
