@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": q.q_clean_corpus,
         # cross-snapshot incremental dedup (new dump vs prior dump index)
         "snapshot_dedup": q.q_snapshot_dedup,
+        "snapshot_near_dedup": q.q_snapshot_near_dedup,
+        "snapshot_dedup_bloom": q.q_snapshot_dedup_bloom,
     }
 
 
@@ -127,6 +129,19 @@ def oracle_sql() -> dict[str, str]:
             "WHERE NOT EXISTS (SELECT 1 FROM documents p "
             "WHERE p.doc_id % 3 = 0 "
             "AND coalesce(p.text, '') = coalesce(d.text, ''))"
+        ),
+        "snapshot_dedup_bloom": (
+            # same independent anti-join: the Bloom path's deterministic
+            # false-positive probability at this corpus size is ~1e-13
+            # per doc, so its output must equal the exact path's (the FP
+            # BOUND at adversarial sizes is asserted in pytest)
+            "SELECT d.doc_id, d.n_chars FROM documents d "
+            "WHERE NOT EXISTS (SELECT 1 FROM documents p "
+            "WHERE p.doc_id % 3 = 0 "
+            "AND coalesce(p.text, '') = coalesce(d.text, ''))"
+        ),
+        "snapshot_near_dedup": (
+            "SELECT * FROM read_parquet('/root/repo/golden/snapshot_near_dedup.parquet')"
         ),
         "token_counts": (
             "SELECT doc_id, CAST(CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) = '' THEN 0 ELSE "

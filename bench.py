@@ -155,6 +155,8 @@ def run_bench() -> dict:
     timed("line_filter", q.q_line_filter)
     timed("paragraph_dedup", q.q_paragraph_dedup)
     timed("domain_quota", q.q_domain_quota)
+    timed("snapshot_dedup", q.q_snapshot_dedup)
+    timed("snapshot_near_dedup", q.q_snapshot_near_dedup)
     timed("clean_corpus", q.q_clean_corpus)
 
     out = {

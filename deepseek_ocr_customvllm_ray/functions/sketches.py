@@ -43,24 +43,39 @@ class BloomFilter:
         self.k = k
         self.bits = np.zeros(n_bits // 64, dtype=np.uint64)
 
-    def _positions(self, values: List[str]) -> np.ndarray:
-        h = _hash64(values)
+    def _positions_from(self, h: np.ndarray) -> np.ndarray:
         h1 = h & np.uint64(0xFFFFFFFF)
         h2 = h >> np.uint64(32)
         ks = np.arange(self.k, dtype=np.uint64)
         return (h1[:, None] + ks[None, :] * h2[:, None]) & np.uint64(self.n_bits - 1)
 
+    def _positions(self, values: List[str]) -> np.ndarray:
+        return self._positions_from(_hash64(values))
+
     def add_many(self, values: List[str]) -> None:
         if not values:
             return
-        pos = self._positions(values).ravel()
+        self.add_hashes(_hash64(values))
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        """Insert pre-computed 64-bit hashes (blake2b-8/little-endian — the
+        same family ``add_many`` derives, so text- and digest-side callers
+        interoperate)."""
+        if not len(h):
+            return
+        pos = self._positions_from(h).ravel()
         np.bitwise_or.at(self.bits, pos >> np.uint64(6), np.uint64(1) << (pos & np.uint64(63)))
 
     def contains_many(self, values: List[str]) -> np.ndarray:
         """Vectorized membership test -> bool array (no false negatives)."""
         if not values:
             return np.zeros(0, dtype=bool)
-        pos = self._positions(values)
+        return self.contains_hashes(_hash64(values))
+
+    def contains_hashes(self, h: np.ndarray) -> np.ndarray:
+        if not len(h):
+            return np.zeros(0, dtype=bool)
+        pos = self._positions_from(h)
         word = self.bits[(pos >> np.uint64(6)).ravel()].reshape(pos.shape)
         hit = (word >> (pos & np.uint64(63))) & np.uint64(1)
         return hit.all(axis=1).astype(bool)

@@ -1298,3 +1298,50 @@ def q_snapshot_dedup(sf_dir: str):
     index = dedup.build_text_digest_index(prior, "text")
     kept = dedup.dedup_against_index(ds, "text", index)
     return kept.select_columns(["doc_id", "n_chars"])
+
+
+def q_snapshot_near_dedup(sf_dir: str):
+    """Cross-snapshot NEAR-dup dedup (fuzzy sibling of snapshot_dedup):
+    the prior dump holds slightly-updated versions of every 3rd page (two
+    trailing words differ — the page changed between crawls), so exact
+    digests would miss them; the broadcast MinHash band-key index still
+    drops the re-crawls.  Map-only probe; deterministic per row, so the
+    golden snapshot is parallelism-invariant."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def prior_versions(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        pick = ids % 3 == 0
+        texts = [
+            (t or "") + " prior version" for t in b["text"].filter(pa.array(pick)).to_pylist()
+        ]
+        return pa.table({"text": pa.array(texts, pa.string())})
+
+    prior = ds.map_batches(prior_versions, batch_format="pyarrow")
+    index = dedup.build_minhash_band_index(
+        prior, "text", num_perm=128, n_bands=16, shingle_k=3
+    )
+    kept = dedup.dedup_against_minhash_index(
+        ds, "text", index, num_perm=128, n_bands=16, shingle_k=3
+    )
+    return kept.select_columns(["doc_id", "n_chars"])
+
+
+def q_snapshot_dedup_bloom(sf_dir: str):
+    """snapshot_dedup through the memory-BOUNDED Bloom index (the
+    >8 B/doc-broadcast-budget swap).  Same independent DuckDB text
+    anti-join oracle as the exact path: at this corpus size the
+    deterministic false-positive probability is ~(k*n/n_bits)^k ~ 1e-13
+    per doc, so the Bloom result must equal the exact result; the
+    one-sided-error BOUND on adversarial sizes is asserted in
+    tests/test_sketches.py and tests/test_dedup.py."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def every_3rd(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 3 == 0))
+
+    prior = ds.map_batches(every_3rd, batch_format="pyarrow")
+    index = dedup.build_text_bloom_index(prior, "text", n_bits=1 << 20, k=5)
+    kept = dedup.dedup_against_bloom_index(ds, "text", index)
+    return kept.select_columns(["doc_id", "n_chars"])

@@ -1095,17 +1095,20 @@ def build_text_digest_index(ds, text_col: str):
     practical ceiling; beyond that, dedup the union of snapshots with
     :func:`exact_dedup_shuffle` (co-partition anti-join, no index).
     """
-    import ray
-
     def digest_batch(batch: pa.Table) -> pa.Table:
         h = _text_digests(batch[text_col].to_pylist())
         return pa.table({"h": pa.array(h.view(np.int64), pa.int64())})
 
-    refs = list(
-        ds.map_batches(digest_batch, batch_format="pyarrow")
-        .materialize()
-        .to_arrow_refs()
-    )
+    return _gather_sorted_u64(ds.map_batches(digest_batch, batch_format="pyarrow"))
+
+
+def _gather_sorted_u64(h_ds):
+    """Collect a Dataset with one int64 ``h`` column into a single sorted,
+    deduplicated uint64 array inside a Ray task (8 B/value partials; the
+    driver never sees the array).  Returns the ``ObjectRef``."""
+    import ray
+
+    refs = list(h_ds.materialize().to_arrow_refs())
 
     def _gather(rs):
         ts = [t for t in ray.get(rs) if t.num_rows and "h" in t.schema.names]
@@ -1119,6 +1122,15 @@ def build_text_digest_index(ds, text_col: str):
     return ray.remote(num_cpus=1)(_gather).remote(refs)
 
 
+def _sorted_member(idx: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``keys`` in the sorted array ``idx``."""
+    if not len(idx):
+        return np.zeros(len(keys), dtype=bool)
+    pos = np.searchsorted(idx, keys)
+    pos_c = np.minimum(pos, len(idx) - 1)
+    return (pos < len(idx)) & (idx[pos_c] == keys)
+
+
 def dedup_against_index(ds, text_col: str, index_ref):
     """Map-only filter: drop rows whose text digest is in the prior
     snapshot's index (:func:`build_text_digest_index`).  All input columns
@@ -1130,12 +1142,166 @@ def dedup_against_index(ds, text_col: str, index_ref):
     def keep(batch: pa.Table) -> pa.Table:
         idx = ray.get(index_ref)  # zero-copy plasma read
         h = _text_digests(batch[text_col].to_pylist())
+        member = _sorted_member(idx, h)
+        return batch.filter(pa.array(~member))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _band_keys64(sig: np.ndarray, n_bands: int) -> np.ndarray:
+    """Full 64-bit per-band bucket keys with the band number mixed in
+    (blake2b over band-no + band bytes).  The clustering path's crc32
+    ``hashing.band_keys`` is acceptable there because a bucket collision
+    only gates a Jaccard VERIFY; an index probe has no verify step, so
+    31-bit keys would false-drop at crawl scale (10^9 docs x 16 bands
+    saturates 2^31 many times over)."""
+    from hashlib import blake2b
+
+    rows = len(sig) // n_bands
+    return np.array(
+        [
+            int.from_bytes(
+                blake2b(
+                    bi.to_bytes(4, "little")
+                    + np.ascontiguousarray(sig[bi * rows : (bi + 1) * rows]).tobytes(),
+                    digest_size=8,
+                ).digest(),
+                "little",
+            )
+            for bi in range(n_bands)
+        ],
+        dtype=np.uint64,
+    )
+
+
+def build_minhash_band_index(
+    ds,
+    text_col: str,
+    *,
+    num_perm: int = 128,
+    n_bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 1234,
+):
+    """LSH band-key index of a prior corpus snapshot — the broadcast side
+    of cross-snapshot NEAR-dup dedup (the fuzzy sibling of
+    :func:`build_text_digest_index`; FineWeb applies exactly this shape
+    per crawl dump).  Band keys are computed inside the read tasks,
+    gathered/sorted once, and broadcast as one sorted uint64 array.
+
+    ``n_bands`` x 8 B/doc (128 B at the defaults): the practical broadcast
+    ceiling is ~10^8 prior docs; beyond that, near-dedup the union of
+    snapshots with :func:`fuzzy_dedup_keepers` (shuffle path, no index).
+    Docs with no shingles (empty / whitespace-only) are never indexed —
+    they carry no content to near-dup on."""
+    a, b = hx.minhash_params(num_perm, seed)
+
+    def keys_batch(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch[text_col].to_pylist():
+            sh = hx.shingle_hashes(t or "", shingle_k)
+            if sh.size == 0:
+                continue
+            out.append(_band_keys64(hx.minhash_signature(sh, a, b), n_bands))
+        h = np.concatenate(out) if out else np.array([], dtype=np.uint64)
+        return pa.table({"h": pa.array(h.view(np.int64), pa.int64())})
+
+    return _gather_sorted_u64(ds.map_batches(keys_batch, batch_format="pyarrow"))
+
+
+def dedup_against_minhash_index(
+    ds,
+    text_col: str,
+    index_ref,
+    *,
+    num_perm: int = 128,
+    n_bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 1234,
+    min_matching_bands: int = 1,
+):
+    """Map-only near-dup filter of a new crawl against a prior snapshot's
+    band-key index (:func:`build_minhash_band_index` with the SAME
+    num_perm / n_bands / shingle_k / seed).  A row drops when at least
+    ``min_matching_bands`` of its band keys hit the index.
+
+    Bucket-collision dedup with no pairwise verify (the FineWeb trade):
+    P(one band hits) = s^(num_perm/n_bands) for true Jaccard s, so the
+    defaults (128/16 -> 8 rows/band) give an S-curve centered near
+    s ~ 0.77; raise ``min_matching_bands`` to trade recall for precision.
+    Docs with no shingles never drop.  The new crawl never shuffles."""
+    import ray
+
+    a, b = hx.minhash_params(num_perm, seed)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        idx = ray.get(index_ref)
+        texts = batch[text_col].to_pylist()
+        member = np.zeros(len(texts), dtype=bool)
         if len(idx):
-            pos = np.searchsorted(idx, h)
-            pos_c = np.minimum(pos, len(idx) - 1)
-            member = (pos < len(idx)) & (idx[pos_c] == h)
-        else:
-            member = np.zeros(len(h), dtype=bool)
+            for i, t in enumerate(texts):
+                sh = hx.shingle_hashes(t or "", shingle_k)
+                if sh.size == 0:
+                    continue
+                keys = _band_keys64(hx.minhash_signature(sh, a, b), n_bands)
+                member[i] = _sorted_member(idx, keys).sum() >= min_matching_bands
+        return batch.filter(pa.array(~member))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def build_text_bloom_index(ds, text_col: str, *, n_bits: int = 1 << 27, k: int = 5):
+    """Memory-BOUNDED exact-dedup index: a Bloom filter over full-text
+    digests — the swap for :func:`build_text_digest_index` when the prior
+    snapshot exceeds the 8 B/doc broadcast budget.  Broadcast size is
+    ``n_bits/8`` bytes REGARDLESS of corpus count (16 MB at 2^27).
+
+    One-sided error: a true duplicate is NEVER kept (no false negatives);
+    new content may be falsely dropped at the classic
+    ``(1 - e^(-k*n/n_bits))^k`` rate — the CCNet trade (losing ~0.1% of
+    genuinely-new pages is acceptable at crawl scale; re-emitting
+    duplicates is not).  Size ``n_bits >= ~14x`` the prior doc count for
+    ~0.1% FP at k=5.
+
+    Digest partials (8 B/doc) stream one-at-a-time through a single build
+    task that sets bits incrementally, so peak memory there is one partial
+    + the bitset; only the bitset broadcasts."""
+    import ray
+
+    from ..functions.sketches import BloomFilter
+
+    def digest_batch(batch: pa.Table) -> pa.Table:
+        h = _text_digests(batch[text_col].to_pylist())
+        return pa.table({"h": pa.array(h.view(np.int64), pa.int64())})
+
+    refs = list(
+        ds.map_batches(digest_batch, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    )
+
+    def _build(rs):
+        bf = BloomFilter(n_bits, k)
+        for r in rs:
+            t = ray.get(r)  # one partial resident at a time
+            if t.num_rows and "h" in t.schema.names:
+                h = t["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+                bf.add_hashes(h.view(np.uint64))
+        return bf
+
+    return ray.remote(num_cpus=1)(_build).remote(refs)
+
+
+def dedup_against_bloom_index(ds, text_col: str, bloom_ref):
+    """Map-only probe of :func:`build_text_bloom_index`: drop rows whose
+    text digest tests positive (every true duplicate drops; new content
+    survives except at the filter's documented false-positive rate)."""
+    import ray
+
+    def keep(batch: pa.Table) -> pa.Table:
+        bf = ray.get(bloom_ref)
+        h = _text_digests(batch[text_col].to_pylist())
+        member = bf.contains_hashes(h)
         return batch.filter(pa.array(~member))
 
     return ds.map_batches(keep, batch_format="pyarrow")

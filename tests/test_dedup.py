@@ -535,3 +535,157 @@ class TestSnapshotDedup:
         assert len(idx) == 3  # deduplicated
         assert (np.diff(idx.astype(np.uint64).view(np.int64)) != 0).all()
         assert (np.sort(idx) == idx).all()
+
+
+class TestMinhashBandIndexDedup:
+    """build_minhash_band_index + dedup_against_minhash_index (fuzzy
+    cross-snapshot dedup: bucket-collision drop, no pairwise verify)."""
+
+    KW = dict(num_perm=128, n_bands=16, shingle_k=3)
+
+    def _tbl(self, ids, texts):
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+
+    def _long(self, tag, n=60):
+        return " ".join(f"{tag}w{i}" for i in range(n))
+
+    def test_near_and_exact_dups_drop_disjoint_survive(self, ray_session):
+        import ray.data as rd
+
+        base = self._long("a")
+        prior = rd.from_arrow(self._tbl(
+            [0, 1], [base + " updated tail", self._long("b")]
+        ))
+        new = rd.from_arrow(self._tbl(
+            [10, 11, 12],
+            [base,                 # near-dup of prior 0 (58/61 shingles)
+             self._long("b"),      # exact text of prior 1
+             self._long("zq")],    # disjoint
+        ))
+        idx = dedup.build_minhash_band_index(prior, "text", **self.KW)
+        out = dedup.dedup_against_minhash_index(new, "text", idx, **self.KW).to_pandas()
+        assert sorted(out["doc_id"]) == [12]
+
+    def test_no_shingle_docs_never_drop(self, ray_session):
+        import ray.data as rd
+
+        prior = rd.from_arrow(self._tbl([0, 1], ["", "   "]))
+        new = rd.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([None, "", self._long("c")], pa.string()),
+        }))
+        idx = dedup.build_minhash_band_index(prior, "text", **self.KW)
+        out = dedup.dedup_against_minhash_index(new, "text", idx, **self.KW).to_pandas()
+        assert sorted(out["doc_id"]) == [1, 2, 3]
+
+    def test_min_matching_bands_threshold(self, ray_session):
+        import ray.data as rd
+
+        t = self._long("d")
+        prior = rd.from_arrow(self._tbl([0], [t]))
+        new = rd.from_arrow(self._tbl([5], [t]))
+        idx = dedup.build_minhash_band_index(prior, "text", **self.KW)
+        # exact copy hits all 16 bands -> drops at m=16, survives at m=17
+        kept16 = dedup.dedup_against_minhash_index(
+            new, "text", idx, min_matching_bands=16, **self.KW
+        ).to_pandas()
+        kept17 = dedup.dedup_against_minhash_index(
+            new, "text", idx, min_matching_bands=17, **self.KW
+        ).to_pandas()
+        assert len(kept16) == 0 and sorted(kept17["doc_id"]) == [5]
+
+    def test_matches_serial_band_membership(self, ray_session):
+        """Parity vs an independent serial re-derivation: a new doc drops
+        iff any of its band keys appears among the prior docs' band keys."""
+        import ray.data as rd
+        from deepseek_ocr_customvllm_ray.stages.dedup import _band_keys64
+
+        # sliding-window vocabulary: doc i shares 27/30 tokens with doc
+        # i+1, so the overlap region yields exact (10 docs) AND near
+        # (sliding) drops plus genuinely-kept docs — 18 kept / 12 dropped
+        rngtexts = [
+            " ".join(f"tok{(i * 3 + j) % 200}" for j in range(30))
+            for i in range(40)
+        ]
+        prior_texts = rngtexts[:20]
+        new_texts = rngtexts[10:]  # overlap 10 exact + possible near-dups
+        a, b = hx.minhash_params(128)
+        prior_keys = set()
+        for t in prior_texts:
+            sh = hx.shingle_hashes(t, 3)
+            if sh.size:
+                prior_keys.update(
+                    _band_keys64(hx.minhash_signature(sh, a, b), 16).tolist()
+                )
+        expected = []
+        for i, t in enumerate(new_texts):
+            sh = hx.shingle_hashes(t, 3)
+            keys = set(
+                _band_keys64(hx.minhash_signature(sh, a, b), 16).tolist()
+            ) if sh.size else set()
+            if not (keys & prior_keys):
+                expected.append(i)
+        idx = dedup.build_minhash_band_index(
+            rd.from_arrow(self._tbl(range(20), prior_texts)).repartition(5),
+            "text", **self.KW,
+        )
+        out = dedup.dedup_against_minhash_index(
+            rd.from_arrow(self._tbl(range(len(new_texts)), new_texts)).repartition(7),
+            "text", idx, **self.KW,
+        ).to_pandas()
+        assert sorted(out["doc_id"]) == expected
+        # non-vacuous in BOTH directions
+        assert 0 < len(expected) < len(new_texts)
+
+
+class TestBloomIndexDedup:
+    """build_text_bloom_index + dedup_against_bloom_index (memory-bounded
+    exact dedup; one-sided error)."""
+
+    def _tbl(self, ids, texts):
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+
+    def test_no_false_negatives_and_no_fp_when_ample(self, ray_session):
+        import ray.data as rd
+
+        prior_texts = [f"prior doc {i} body" for i in range(200)]
+        new_texts = prior_texts[:100] + [f"new doc {i} body" for i in range(100)]
+        prior = rd.from_arrow(self._tbl(range(200), prior_texts)).repartition(4)
+        new = rd.from_arrow(self._tbl(range(200), new_texts)).repartition(4)
+        idx = dedup.build_text_bloom_index(prior, "text", n_bits=1 << 20, k=5)
+        out = dedup.dedup_against_bloom_index(new, "text", idx).to_pandas()
+        # every true dup dropped; at n=200 / 2^20 bits FP ~ 1e-15 -> none
+        assert sorted(out["doc_id"]) == list(range(100, 200))
+
+    def test_one_sided_error_under_saturation(self, ray_session):
+        """An undersized filter may false-drop new docs but must still
+        drop EVERY true duplicate."""
+        import ray.data as rd
+
+        prior_texts = [f"saturating entry {i}" for i in range(300)]
+        new_texts = prior_texts[:50] + [f"fresh {i}" for i in range(50)]
+        prior = rd.from_arrow(self._tbl(range(300), prior_texts))
+        new = rd.from_arrow(self._tbl(range(100), new_texts))
+        idx = dedup.build_text_bloom_index(prior, "text", n_bits=256, k=3)
+        out = dedup.dedup_against_bloom_index(new, "text", idx).to_pandas()
+        kept = set(out["doc_id"])
+        assert not (kept & set(range(50)))  # no dup ever kept
+        assert kept <= set(range(50, 100))
+
+    def test_matches_exact_index_on_clean_corpus(self, ray_session):
+        import ray.data as rd
+
+        texts = [f"doc number {i} content words" for i in range(120)]
+        prior = rd.from_arrow(self._tbl(range(40), texts[:40]))
+        new = rd.from_arrow(self._tbl(range(120), texts))
+        bloom = dedup.build_text_bloom_index(prior, "text", n_bits=1 << 20, k=5)
+        exact = dedup.build_text_digest_index(prior, "text")
+        a = dedup.dedup_against_bloom_index(new, "text", bloom).to_pandas()
+        b = dedup.dedup_against_index(new, "text", exact).to_pandas()
+        assert sorted(a["doc_id"]) == sorted(b["doc_id"]) == list(range(40, 120))

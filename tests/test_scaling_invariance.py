@@ -72,7 +72,8 @@ for name in ("q_minhash_clusters", "q_ngram_jaccard_pairs", "q_simhash_signature
              "q_pack_sequences", "q_sample_documents", "q_word_frequencies",
              "q_shingle_decontam", "q_epoch_shuffle", "q_token_diversity",
              "q_line_filter", "q_paragraph_dedup", "q_domain_quota",
-             "q_clean_corpus", "q_url_dedup"):
+             "q_clean_corpus", "q_url_dedup", "q_snapshot_dedup",
+             "q_snapshot_near_dedup", "q_snapshot_dedup_bloom"):
     res = getattr(q, name)(%(sf)r)
     df = res.to_pandas() if hasattr(res, "to_pandas") else res
     df = df[sorted(df.columns)]

@@ -45,6 +45,7 @@ GOLDEN_QUERIES = [
     "approx_distinct_texts",
     "pack_sequences",
     "approx_char_quantiles",
+    "snapshot_near_dedup",
 ]
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "golden")
