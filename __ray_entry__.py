@@ -104,6 +104,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_dedup": q.q_snapshot_dedup,
         "snapshot_near_dedup": q.q_snapshot_near_dedup,
         "snapshot_dedup_bloom": q.q_snapshot_dedup_bloom,
+        # unicode normalization / context-window chunking
+        "normalize_text": q.q_normalize_text,
+        "chunk_documents": q.q_chunk_documents,
     }
 
 
@@ -142,6 +145,31 @@ def oracle_sql() -> dict[str, str]:
         ),
         "snapshot_near_dedup": (
             "SELECT * FROM read_parquet('/root/repo/golden/snapshot_near_dedup.parquet')"
+        ),
+        "normalize_text": (
+            # both sides append the same messy suffix (the engine's
+            # literal is the DECOMPOSED accent; the SQL builds it with
+            # chr(769)) and must converge to identical NFC bytes
+            "SELECT doc_id, trim(regexp_replace(regexp_replace("
+            "nfc_normalize(text || ' Cafe' || chr(769) || '  B' || chr(7) || ' end  '), "
+            "'[\\x00-\\x08\\x0E-\\x1F\\x7F]', '', 'g'), "
+            "'\\s+', ' ', 'g'), ' ') AS norm_text "
+            "FROM documents"
+        ),
+        "chunk_documents": (
+            # independent window re-derivation by 1-based list slicing;
+            # chunk=32 overlap=8 -> stride 24; chunk count =
+            # ceil(max(n-overlap,1)/stride) via integer arithmetic
+            "WITH t AS ("
+            "  SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+') AS toks"
+            "  FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) <> ''"
+            "), c AS ("
+            "  SELECT doc_id, CAST(s.j AS BIGINT) AS chunk_id,"
+            "  toks[(s.j*24)+1 : s.j*24+32] AS ctoks"
+            "  FROM t, UNNEST(range(0, (greatest(len(toks)-8, 1) + 23) // 24)) AS s(j)"
+            ") "
+            "SELECT doc_id, chunk_id, CAST(len(ctoks) AS BIGINT) AS n_chunk_tokens, "
+            "array_to_string(ctoks, ' ') AS chunk_text FROM c"
         ),
         "token_counts": (
             "SELECT doc_id, CAST(CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) = '' THEN 0 ELSE "

@@ -157,6 +157,8 @@ def run_bench() -> dict:
     timed("domain_quota", q.q_domain_quota)
     timed("snapshot_dedup", q.q_snapshot_dedup)
     timed("snapshot_near_dedup", q.q_snapshot_near_dedup)
+    timed("normalize_text", q.q_normalize_text)
+    timed("chunk_documents", q.q_chunk_documents)
     timed("clean_corpus", q.q_clean_corpus)
 
     out = {

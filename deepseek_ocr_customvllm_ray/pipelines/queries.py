@@ -1345,3 +1345,35 @@ def q_snapshot_dedup_bloom(sf_dir: str):
     index = dedup.build_text_bloom_index(prior, "text", n_bits=1 << 20, k=5)
     kept = dedup.dedup_against_bloom_index(ds, "text", index)
     return kept.select_columns(["doc_id", "n_chars"])
+
+
+def q_normalize_text(sf_dir: str):
+    """Unicode normalization pass (NFC + control strip + whitespace
+    collapse).  The corpus is pure ASCII — vacuous under normalization —
+    so BOTH sides append the same messy suffix (decomposed accent, double
+    space, BEL control char, trailing blanks) to every doc; the engine
+    must then compose/strip/collapse it byte-identically to DuckDB's
+    nfc_normalize + RE2 chain."""
+    from ..stages.normalize import normalize_texts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    suffix = " Cafe\u0301  B\x07 end  "  # decomposed e-acute on purpose
+
+    def aug(b: pa.Table) -> pa.Table:
+        t = pc.binary_join_element_wise(
+            b["text"], pa.scalar(suffix, pa.string()), pa.scalar("", pa.string())
+        )
+        return pa.table({"doc_id": b["doc_id"], "norm_text": normalize_texts(t)})
+
+    return ds.map_batches(aug, batch_format="pyarrow")
+
+
+def q_chunk_documents(sf_dir: str):
+    """Context-window chunking: 32-token windows, 8-token overlap, over
+    the whitespace tokenizer shared with token_counts.  Map-only and
+    parallelism-invariant; DuckDB re-derives every window by list
+    slicing."""
+    from ..stages.chunking import chunk_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(ds, "text", "doc_id", chunk_tokens=32, overlap=8)
