@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unicode normalization / context-window chunking
         "normalize_text": q.q_normalize_text,
         "chunk_documents": q.q_chunk_documents,
+        # per-doc distinctive terms (rational-score tf-idf)
+        "doc_top_terms": q.q_doc_top_terms,
     }
 
 
@@ -155,6 +157,19 @@ def oracle_sql() -> dict[str, str]:
             "'[\\x00-\\x08\\x0E-\\x1F\\x7F]', '', 'g'), "
             "'\\s+', ' ', 'g'), ' ') AS norm_text "
             "FROM documents"
+        ),
+        "doc_top_terms": (
+            # rational tf/df score: IEEE double division is exact-rounded
+            # so the DESC ordering is bit-identical in both engines (an
+            # ln() idf would hinge on libm ulps)
+            "WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), "
+            "'\\s+')) AS token FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) <> ''), "
+            "tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, token), "
+            "df AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM t GROUP BY token) "
+            "SELECT doc_id, token, tf, df, rank FROM ("
+            "SELECT tf.doc_id, tf.token, tf.tf, df.df, "
+            "CAST(row_number() OVER (PARTITION BY tf.doc_id ORDER BY CAST(tf.tf AS DOUBLE)/df.df DESC, tf.token) AS BIGINT) AS rank "
+            "FROM tf JOIN df USING (token)) WHERE rank <= 5"
         ),
         "chunk_documents": (
             # independent window re-derivation by 1-based list slicing;

@@ -159,6 +159,7 @@ def run_bench() -> dict:
     timed("snapshot_near_dedup", q.q_snapshot_near_dedup)
     timed("normalize_text", q.q_normalize_text)
     timed("chunk_documents", q.q_chunk_documents)
+    timed("doc_top_terms", q.q_doc_top_terms)
     timed("clean_corpus", q.q_clean_corpus)
 
     out = {

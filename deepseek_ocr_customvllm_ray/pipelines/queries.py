@@ -1377,3 +1377,11 @@ def q_chunk_documents(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return chunk_documents(ds, "text", "doc_id", chunk_tokens=32, overlap=8)
+
+
+def q_doc_top_terms(sf_dir: str):
+    """Top-5 distinctive terms per doc by tf/df (rational-score tf-idf;
+    see stages.analysis.doc_top_terms).  DuckDB independently re-derives
+    tf, df, the double-division ordering and the row_number rank."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return analysis.doc_top_terms(ds, "text", "doc_id", k=5)

@@ -280,3 +280,132 @@ def repetition_filter(
         return pa.table({id_col: out[id_col], "n_words": out["n_words"]})
 
     return stats.map_batches(keep, batch_format="pyarrow")
+
+
+def make_doc_freq_partial(text_col: str):
+    """Per-batch partial DOCUMENT frequencies: one row per distinct token
+    with the number of batch docs containing it ((doc, token) pairs are
+    deduped before counting — the df combiner, same shuffle shape as
+    ``make_word_count_partial``: volume scales with vocabulary)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch[text_col])
+        keep = pc.fill_null(pc.greater(pc.utf8_length(trimmed), 0), False)
+        lists = pc.split_pattern_regex(trimmed.filter(keep), pattern=r"\s+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        n = len(lists)
+        if n == 0:
+            return pa.table({
+                "token": pa.array([], pa.string()),
+                "df_p": pa.array([], pa.int64()),
+            })
+        offsets = lists.offsets.to_numpy().astype(np.int64)
+        offsets = offsets - offsets[0]
+        counts = offsets[1:] - offsets[:-1]
+        words = np.asarray(lists.flatten().to_pylist(), dtype=object)
+        vocab, codes = np.unique(words, return_inverse=True)
+        doc_ix = np.repeat(np.arange(n, dtype=np.int64), counts)
+        pair = np.unique(doc_ix * len(vocab) + codes)
+        df_p = np.bincount(pair % len(vocab), minlength=len(vocab))
+        return pa.table({
+            "token": pa.array(vocab, pa.string()),
+            "df_p": pa.array(df_p, pa.int64()),
+        })
+
+    return fn
+
+
+def document_frequencies(ds, text_col: str):
+    """``Dataset -> Dataset`` of (token, df): how many docs contain each
+    token.  Partials per batch + one vocabulary-sized groupby."""
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(make_doc_freq_partial(text_col), batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df_p", alias_name="df"))
+    )
+
+
+def doc_top_terms(ds, text_col: str, id_col: str, k: int = 5):
+    """Top-k distinctive terms per document, ranked by ``tf/df`` (term
+    frequency over document frequency — tf-idf with the idf choice
+    ``1/df``; kept RATIONAL on purpose: IEEE division is exact-rounded,
+    so the ranking contract is bit-identical across engines, where an
+    ``ln(N/df)`` idf would hinge on last-ulp libm agreement).  Ties break
+    on token.
+
+    Two passes over the input (index-then-probe, like shingle_decontam):
+    pass 1 aggregates (token, df) — shuffle volume = vocabulary — and
+    gathers it into ONE Ray task whose sorted-vocab arrays broadcast via
+    the object store; pass 2 is map-only: per-batch (doc, token, tf)
+    rows, vectorized ``searchsorted`` df lookup, per-doc rank by
+    lexsort + run boundaries.  The broadcast assumes crawl-scale vocab is
+    pruned (df floor / top-V); an unpruned 10^9-token vocabulary needs
+    the shuffle swap instead: ``joins.hash_join`` of tf rows with the df
+    table on token, then a per-doc top-k groupby."""
+    import ray
+
+    refs = list(document_frequencies(ds, text_col).materialize().to_arrow_refs())
+
+    def _gather(rs):
+        ts = [t for t in ray.get(rs) if t.num_rows]
+        if not ts:
+            return np.array([], dtype=object), np.array([], dtype=np.int64)
+        tok = np.concatenate([np.asarray(t["token"].to_pylist(), dtype=object) for t in ts])
+        df = np.concatenate([t["df"].to_numpy(zero_copy_only=False) for t in ts])
+        order = np.argsort(tok)
+        return tok[order], df[order].astype(np.int64)
+
+    vocab_ref = ray.remote(num_cpus=1)(_gather).remote(refs)
+
+    def topk(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "token": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+        })
+        trimmed = pc.utf8_trim_whitespace(batch[text_col])
+        keep = pc.fill_null(pc.greater(pc.utf8_length(trimmed), 0), False)
+        ids = batch[id_col].filter(keep).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lists = pc.split_pattern_regex(trimmed.filter(keep), pattern=r"\s+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        n = len(lists)
+        if n == 0:
+            return empty
+        vocab, dfs = ray.get(vocab_ref)
+        offsets = lists.offsets.to_numpy().astype(np.int64)
+        offsets = offsets - offsets[0]
+        counts = offsets[1:] - offsets[:-1]
+        words = np.asarray(lists.flatten().to_pylist(), dtype=object)
+        bvocab, codes = np.unique(words, return_inverse=True)
+        doc_ix = np.repeat(np.arange(n, dtype=np.int64), counts)
+        pair, tf = np.unique(doc_ix * len(bvocab) + codes, return_counts=True)
+        p_doc, p_code = pair // len(bvocab), pair % len(bvocab)
+        p_tok = bvocab[p_code]
+        p_df = dfs[np.searchsorted(vocab, p_tok)]  # every token is in the corpus vocab
+        score = tf.astype(np.float64) / p_df
+        order = np.lexsort((p_tok, -score, p_doc))
+        d_s = p_doc[order]
+        first = np.empty(len(d_s), dtype=bool)
+        if len(d_s):
+            first[0] = True
+            first[1:] = d_s[1:] != d_s[:-1]
+        rank = np.arange(len(d_s)) - np.repeat(
+            np.flatnonzero(first), np.diff(np.append(np.flatnonzero(first), len(d_s)))
+        ) + 1
+        sel = rank <= k
+        o = order[sel]
+        return pa.table({
+            id_col: pa.array(ids[p_doc[o]], pa.int64()),
+            "token": pa.array(p_tok[o], pa.string()),
+            "tf": pa.array(tf[o], pa.int64()),
+            "df": pa.array(p_df[o], pa.int64()),
+            "rank": pa.array(rank[sel], pa.int64()),
+        })
+
+    return ds.map_batches(topk, batch_format="pyarrow")

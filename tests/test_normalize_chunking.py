@@ -126,3 +126,57 @@ class TestChunking:
         out = chunk_documents(ds, "text", "doc_id", chunk_tokens=3, overlap=1).to_pandas()
         got = sorted(map(tuple, out.itertuples(index=False, name=None)))
         assert got == [(1, 0, 3, "a b c"), (1, 1, 3, "c d e")]
+
+
+class TestDocTopTerms:
+    """document_frequencies + doc_top_terms (rational tf/df ranking)."""
+
+    def _ds(self, texts):
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })).repartition(3)
+
+    def test_document_frequencies_dedupe_within_doc(self, ray_session):
+        from deepseek_ocr_customvllm_ray.stages.analysis import document_frequencies
+
+        # 'a' twice in doc0 still counts df=1 for doc0
+        out = document_frequencies(self._ds(["a a b", "a c", "", None]), "text").to_pandas()
+        got = dict(zip(out["token"], out["df"]))
+        assert got == {"a": 2, "b": 1, "c": 1}
+
+    def test_hand_computed_ranking(self, ray_session):
+        from deepseek_ocr_customvllm_ray.stages.analysis import doc_top_terms
+
+        # doc0: rare appears twice (tf=2, df=1 -> 2.0), common once
+        # (tf=1, df=3 -> 1/3); doc1/doc2 share 'common'
+        out = doc_top_terms(
+            self._ds(["rare rare common", "common x", "common y"]),
+            "text", "doc_id", k=2,
+        ).to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+        d0 = out[out["doc_id"] == 0]
+        assert list(d0["token"]) == ["rare", "common"]
+        assert list(d0["tf"]) == [2, 1] and list(d0["df"]) == [1, 3]
+        assert list(d0["rank"]) == [1, 2]
+        # doc1: x (1/1) beats common (1/3)
+        d1 = out[out["doc_id"] == 1]
+        assert list(d1["token"]) == ["x", "common"]
+
+    def test_tie_breaks_on_token(self, ray_session):
+        from deepseek_ocr_customvllm_ray.stages.analysis import doc_top_terms
+
+        # both tokens unique to the doc: equal score 1.0 -> lexicographic
+        out = doc_top_terms(self._ds(["zeta alpha"]), "text", "doc_id", k=2).to_pandas()
+        out = out.sort_values("rank")
+        assert list(out["token"]) == ["alpha", "zeta"]
+
+    def test_k_bounds_rows_and_empty_docs_vanish(self, ray_session):
+        from deepseek_ocr_customvllm_ray.stages.analysis import doc_top_terms
+
+        out = doc_top_terms(
+            self._ds(["a b c d e f", "", None, "   "]), "text", "doc_id", k=3
+        ).to_pandas()
+        assert sorted(out["doc_id"].unique()) == [0]
+        assert len(out) == 3 and sorted(out["rank"]) == [1, 2, 3]
