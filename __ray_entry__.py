@@ -109,6 +109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q.q_chunk_documents,
         # per-doc distinctive terms (rational-score tf-idf)
         "doc_top_terms": q.q_doc_top_terms,
+        # sliding-window aggregate over the hourly tumbling aggregate
+        "events_rolling": q.q_events_rolling,
     }
 
 
@@ -157,6 +159,19 @@ def oracle_sql() -> dict[str, str]:
             "'[\\x00-\\x08\\x0E-\\x1F\\x7F]', '', 'g'), "
             "'\\s+', ' ', 'g'), ' ') AS norm_text "
             "FROM documents"
+        ),
+        "events_rolling": (
+            # independent re-derivation via SQL RANGE window (interval
+            # frame == the engine's bucket-offset searchsorted sweep)
+            "WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents "
+            "FROM events GROUP BY 1, 2) "
+            "SELECT event_type, hour, n_events, sum_value_cents, "
+            "CAST(SUM(n_events) OVER w AS BIGINT) AS rolling_n_events, "
+            "CAST(SUM(sum_value_cents) OVER w AS BIGINT) AS rolling_sum_value_cents "
+            "FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour "
+            "RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW)"
         ),
         "doc_top_terms": (
             # rational tf/df score: IEEE double division is exact-rounded

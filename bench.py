@@ -147,6 +147,7 @@ def run_bench() -> dict:
     timed("lineitem_pricing", q.q_lineitem_pricing)
     timed("top_customers", q.q_top_customers)
     timed("events_hourly", q.q_events_hourly)
+    timed("events_rolling", q.q_events_rolling)
     timed("source_lineage", q.q_source_lineage)
     timed("sample_documents", q.q_sample_documents)
     timed("pii_redaction", q.q_pii_redaction)

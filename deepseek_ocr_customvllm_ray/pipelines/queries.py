@@ -1385,3 +1385,37 @@ def q_doc_top_terms(sf_dir: str):
     tf, df, the double-division ordering and the row_number rank."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return analysis.doc_top_terms(ds, "text", "doc_id", k=5)
+
+
+def q_events_rolling(sf_dir: str):
+    """Sliding-window aggregate: 3-hour trailing sums per (event_type,
+    hour) over the tumbling hourly aggregate (RANGE semantics — absent
+    hours contribute nothing).  One crc32 key exchange; each partition
+    resolves all its keys in a single lexsort + cumsum + searchsorted
+    sweep (see stages.windows)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.windows import rolling_time_agg
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        cents = pc.cast(pc.floor(pc.multiply(batch["value"], 100.0)), pa.int64())
+        return pa.table({
+            "event_type": batch["event_type"],
+            "hour": hour,
+            "value_cents": cents,
+        })
+
+    hourly = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_cents", alias_name="sum_value_cents"),
+        )
+    )
+    return rolling_time_agg(
+        hourly, "event_type", "hour", ["n_events", "sum_value_cents"], window=3
+    )

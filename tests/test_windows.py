@@ -1,0 +1,76 @@
+"""Sliding time-window aggregation units (stages/windows.py)."""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from deepseek_ocr_customvllm_ray.stages.windows import rolling_time_agg
+
+
+def _tbl(rows):
+    ks, ts, vs = zip(*rows)
+    return pa.table({
+        "k": pa.array(ks, pa.string()),
+        "hour": pa.array(
+            [dt.datetime(2026, 1, 1) + dt.timedelta(hours=h) for h in ts],
+            pa.timestamp("us"),
+        ),
+        "v": pa.array(vs, pa.int64()),
+    })
+
+
+def _run(ray_session, rows, window, parts=4):
+    import ray.data as rd
+
+    out = rolling_time_agg(
+        rd.from_arrow(_tbl(rows)).repartition(3), "k", "hour", ["v"],
+        window=window, num_partitions=parts,
+    ).to_pandas()
+    out["h"] = (
+        out["hour"].to_numpy().astype("datetime64[ns]").astype("int64")
+        // 3_600_000_000_000
+        - int(np.datetime64("2026-01-01").astype("datetime64[h]").astype("int64"))
+    )
+    return {(r.k, r.h): r.rolling_v for r in out.itertuples()}
+
+
+class TestRollingTimeAgg:
+    def test_gaps_excluded_range_semantics(self, ray_session):
+        # hours 0,1,5: window 3 at h=5 must NOT see h=0/1 (gap > window)
+        got = _run(ray_session, [("a", 0, 10), ("a", 1, 20), ("a", 5, 40)], 3)
+        assert got == {("a", 0): 10, ("a", 1): 30, ("a", 5): 40}
+
+    def test_keys_isolated(self, ray_session):
+        got = _run(ray_session, [("a", 0, 1), ("b", 1, 100), ("a", 1, 2)], 3)
+        assert got == {("a", 0): 1, ("a", 1): 3, ("b", 1): 100}
+
+    def test_window_one_is_identity(self, ray_session):
+        rows = [("a", 0, 5), ("a", 1, 6), ("a", 2, 7)]
+        got = _run(ray_session, rows, 1)
+        assert got == {("a", 0): 5, ("a", 1): 6, ("a", 2): 7}
+
+    def test_matches_serial_reference(self, ray_session):
+        rng = np.random.default_rng(7)
+        rows = []
+        for k in "abcdefgh":
+            hours = sorted(rng.choice(48, size=12, replace=False).tolist())
+            for h in hours:
+                rows.append((k, int(h), int(rng.integers(1, 100))))
+        got = _run(ray_session, rows, 4, parts=5)
+        exp = {}
+        for k, h, v in rows:
+            exp[(k, h)] = sum(
+                v2 for k2, h2, v2 in rows if k2 == k and h - 3 <= h2 <= h
+            )
+        assert got == exp
+
+    def test_window_validation(self, ray_session):
+        import ray.data as rd
+
+        with pytest.raises(ValueError):
+            rolling_time_agg(
+                rd.from_arrow(_tbl([("a", 0, 1)])), "k", "hour", ["v"], window=0
+            )
