@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": q.q_doc_top_terms,
         # sliding-window aggregate over the hourly tumbling aggregate
         "events_rolling": q.q_events_rolling,
+        # inverted index (token -> posting list)
+        "inverted_index": q.q_inverted_index,
     }
 
 
@@ -159,6 +161,16 @@ def oracle_sql() -> dict[str, str]:
             "'[\\x00-\\x08\\x0E-\\x1F\\x7F]', '', 'g'), "
             "'\\s+', ' ', 'g'), ' ') AS norm_text "
             "FROM documents"
+        ),
+        "inverted_index": (
+            # independent posting-list re-derivation (string_agg ORDER BY
+            # == the engine's lexsort + binary_join)
+            "WITH p AS (SELECT DISTINCT doc_id, token FROM ("
+            "SELECT doc_id, unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')) AS token "
+            "FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) <> '')) "
+            "SELECT token, CAST(count(*) AS BIGINT) AS df, "
+            "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings "
+            "FROM p GROUP BY token"
         ),
         "events_rolling": (
             # independent re-derivation via SQL RANGE window (interval

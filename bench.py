@@ -161,6 +161,7 @@ def run_bench() -> dict:
     timed("normalize_text", q.q_normalize_text)
     timed("chunk_documents", q.q_chunk_documents)
     timed("doc_top_terms", q.q_doc_top_terms)
+    timed("inverted_index", q.q_inverted_index)
     timed("clean_corpus", q.q_clean_corpus)
 
     out = {

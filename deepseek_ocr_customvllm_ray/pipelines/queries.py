@@ -1419,3 +1419,13 @@ def q_events_rolling(sf_dir: str):
     return rolling_time_agg(
         hourly, "event_type", "hour", ["n_events", "sum_value_cents"], window=3
     )
+
+
+def q_inverted_index(sf_dir: str):
+    """Full-corpus inverted index (token -> df + sorted posting list as a
+    comma string; see stages.invindex).  Thin distinct-pair partials, one
+    token-hash exchange, vectorized per-partition list build."""
+    from ..stages.invindex import inverted_index
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return inverted_index(ds, "text", "doc_id")
