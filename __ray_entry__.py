@@ -113,6 +113,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": q.q_events_rolling,
         # inverted index (token -> posting list)
         "inverted_index": q.q_inverted_index,
+        # deterministic k-per-group sample (hash reservoir)
+        "group_sample": q.q_group_sample,
+        # actor-pool model scoring (integer-logit quality classifier)
+        "quality_model_score": q.q_quality_model_score,
     }
 
 
@@ -161,6 +165,29 @@ def oracle_sql() -> dict[str, str]:
             "'[\\x00-\\x08\\x0E-\\x1F\\x7F]', '', 'g'), "
             "'\\s+', ' ', 'g'), ' ') AS norm_text "
             "FROM documents"
+        ),
+        "quality_model_score": (
+            # integer w.x logit re-derived end to end (weights 2/3/-1
+            # per-10-chars, bias -40, threshold 117 = corpus median)
+            "WITH tk AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(count(DISTINCT token) AS BIGINT) AS n_distinct_tokens "
+            "FROM (SELECT doc_id, unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')) AS token "
+            "FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) <> '') GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(coalesce(length(d.text), 0) AS BIGINT) AS n_chars, "
+            "coalesce(tk.n_tokens, 0) AS n_tokens, "
+            "coalesce(tk.n_distinct_tokens, 0) AS n_distinct_tokens, "
+            "CAST(2*coalesce(tk.n_tokens,0) + 3*coalesce(tk.n_distinct_tokens,0) "
+            "- coalesce(length(d.text),0)//10 - 40 AS BIGINT) AS quality_logit, "
+            "(2*coalesce(tk.n_tokens,0) + 3*coalesce(tk.n_distinct_tokens,0) "
+            "- coalesce(length(d.text),0)//10 - 40) > 117 AS quality_ok "
+            "FROM documents d LEFT JOIN tk USING (doc_id)"
+        ),
+        "group_sample": (
+            # identical md5 ranks on both sides (same digest scheme as
+            # sample_documents); id tie-break pins the cutoff exactly
+            "SELECT doc_id, source, n_chars FROM documents "
+            "QUALIFY row_number() OVER (PARTITION BY source "
+            "ORDER BY substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id) <= 5"
         ),
         "inverted_index": (
             # independent posting-list re-derivation (string_agg ORDER BY

@@ -162,6 +162,8 @@ def run_bench() -> dict:
     timed("chunk_documents", q.q_chunk_documents)
     timed("doc_top_terms", q.q_doc_top_terms)
     timed("inverted_index", q.q_inverted_index)
+    timed("group_sample", q.q_group_sample)
+    timed("quality_model_score", q.q_quality_model_score)
     timed("clean_corpus", q.q_clean_corpus)
 
     out = {

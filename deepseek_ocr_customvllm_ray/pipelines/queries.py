@@ -1429,3 +1429,23 @@ def q_inverted_index(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return inverted_index(ds, "text", "doc_id")
+
+
+def q_group_sample(sf_dir: str):
+    """Deterministic 5-per-source sample (hash reservoir; DuckDB
+    recomputes the identical md5 ranks and row_number cutoff)."""
+    from ..stages.sampling import group_hash_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return group_hash_sample(ds, "source", "doc_id", k=5, seed=42)
+
+
+def q_quality_model_score(sf_dir: str):
+    """Model-based quality scoring through the actor-pool inference
+    pattern (weights load once per actor; see stages.scoring).  The toy
+    model's integer logit keeps the contract exact; threshold 117 is the
+    corpus median, so the accept decision genuinely splits the corpus."""
+    from ..stages.scoring import score_quality
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return score_quality(ds, "text", "doc_id", threshold=117, concurrency=2)

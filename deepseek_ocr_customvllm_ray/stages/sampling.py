@@ -147,3 +147,58 @@ def epoch_shuffle(ds, id_col: str, seed: int = 42, epoch: int = 0,
     if not keep_key:
         out = out.drop_columns(["shuffle_key"])
     return out
+
+
+def group_hash_sample(
+    ds, group_col: str, id_col: str, k: int, seed: int = 42,
+    num_partitions: int = 32,
+):
+    """Deterministic k-per-group sample (a "hash reservoir": the fixed-k
+    sibling of :func:`stratified_sample`'s fixed-RATE selection — balanced
+    subsets for eval sets / per-domain probes).  Rows rank within their
+    group by ``md5(f"{seed}:{id}")`` (id tie-break), keep the k smallest:
+    a uniform-without-replacement draw per group that is a pure function
+    of (seed, row) — any cluster shape, block order, or retry reproduces
+    it, and DuckDB recomputes the identical digests
+    (``QUALIFY row_number() OVER (PARTITION BY g ORDER BY md5, id) <= k``).
+
+    One group-hash exchange; per-partition rank is the same vectorized
+    lexsort + boundary arithmetic as ``urls.domain_quota`` (no per-group
+    dispatch).  All input columns pass through."""
+    import numpy as np
+    import pandas as pd
+
+    from .partition import with_hash_partition
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_rk", _digests(batch[id_col].to_pylist(), seed)
+        )
+
+    parts = with_hash_partition(
+        ds.map_batches(add_rank, batch_format="pyarrow"), group_col, num_partitions
+    )
+
+    def cap(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_part"])
+        if not len(df):
+            return df.drop(columns=["_rk"])
+        grp = df[group_col].to_numpy()
+        ids = df[id_col].to_numpy()
+        rk = df["_rk"].to_numpy()
+        order = np.lexsort((ids, rk, grp))
+        g_s = grp[order]
+        new_group = np.empty(len(g_s), dtype=bool)
+        new_group[0] = True
+        new_group[1:] = g_s[1:] != g_s[:-1]
+        group_start = np.maximum.accumulate(
+            np.where(new_group, np.arange(len(g_s)), 0)
+        )
+        rank = np.arange(len(g_s)) - group_start
+        keep_sorted = order[rank < k]
+        return df.iloc[np.sort(keep_sorted)].drop(columns=["_rk"])
+
+    return parts.groupby("_part").map_groups(cap, batch_format="pandas")

@@ -75,7 +75,8 @@ for name in ("q_minhash_clusters", "q_ngram_jaccard_pairs", "q_simhash_signature
              "q_clean_corpus", "q_url_dedup", "q_snapshot_dedup",
              "q_snapshot_near_dedup", "q_snapshot_dedup_bloom",
              "q_normalize_text", "q_chunk_documents", "q_doc_top_terms",
-             "q_events_rolling", "q_inverted_index"):
+             "q_events_rolling", "q_inverted_index", "q_group_sample",
+             "q_quality_model_score"):
     res = getattr(q, name)(%(sf)r)
     df = res.to_pandas() if hasattr(res, "to_pandas") else res
     df = df[sorted(df.columns)]
@@ -99,7 +100,10 @@ def test_distributed_queries_invariant_across_parallelism():
         out = subprocess.run(
             [sys.executable, "-c",
              _CODE_QUERIES % {"ncpu": ncpu, "repo": REPO, "sf": "/root/testdata/sf0.001"}],
-            capture_output=True, text=True, cwd=REPO, timeout=600,
+            # 31 queries at 2 CPUs in a throttled-VM window have been
+            # measured past 600 s; the bound exists to catch hangs, not
+            # to race the noisy neighbor
+            capture_output=True, text=True, cwd=REPO, timeout=1800,
         )
         assert out.returncode == 0, out.stderr[-2000:]
         results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
