@@ -117,6 +117,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_sample": q.q_group_sample,
         # actor-pool model scoring (integer-logit quality classifier)
         "quality_model_score": q.q_quality_model_score,
+        # data-mixture rebalancing (equalize per-source mass)
+        "rebalance_sources": q.q_rebalance_sources,
+        # full-corpus distributed k-means + SemDeDup semantic dedup
+        "kmeans_clusters": q.q_kmeans_clusters,
+        "semantic_dedup": q.q_semantic_dedup,
     }
 
 
@@ -181,6 +186,26 @@ def oracle_sql() -> dict[str, str]:
             "(2*coalesce(tk.n_tokens,0) + 3*coalesce(tk.n_distinct_tokens,0) "
             "- coalesce(length(d.text),0)//10 - 40) > 117 AS quality_ok "
             "FROM documents d LEFT JOIN tk USING (doc_id)"
+        ),
+        "rebalance_sources": (
+            # totals, IEEE rates and floor(rate*16^8) md5 thresholds all
+            # re-derived independently (to_hex is uppercase in DuckDB ->
+            # lower(); rate==1.0 for the smallest source keeps it whole)
+            "WITH tot AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS w "
+            "FROM documents GROUP BY source), "
+            "r AS (SELECT source, CAST((SELECT MIN(w) FROM tot) AS DOUBLE) "
+            "/ CAST(w AS DOUBLE) AS rate FROM tot) "
+            "SELECT d.doc_id, d.source, d.n_chars "
+            "FROM documents d JOIN r USING (source) "
+            "WHERE r.rate >= 1.0 "
+            "OR substr(md5('42:' || CAST(d.doc_id AS VARCHAR)), 1, 8) "
+            "< lpad(lower(to_hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))), 8, '0')"
+        ),
+        "kmeans_clusters": (
+            "SELECT * FROM read_parquet('/root/repo/golden/kmeans_clusters.parquet')"
+        ),
+        "semantic_dedup": (
+            "SELECT * FROM read_parquet('/root/repo/golden/semantic_dedup.parquet')"
         ),
         "group_sample": (
             # identical md5 ranks on both sides (same digest scheme as

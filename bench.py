@@ -164,6 +164,9 @@ def run_bench() -> dict:
     timed("inverted_index", q.q_inverted_index)
     timed("group_sample", q.q_group_sample)
     timed("quality_model_score", q.q_quality_model_score)
+    timed("rebalance_sources", q.q_rebalance_sources)
+    timed("kmeans_clusters", q.q_kmeans_clusters)
+    timed("semantic_dedup", q.q_semantic_dedup)
     timed("clean_corpus", q.q_clean_corpus)
 
     out = {

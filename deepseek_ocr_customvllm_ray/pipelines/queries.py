@@ -1449,3 +1449,43 @@ def q_quality_model_score(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return score_quality(ds, "text", "doc_id", threshold=117, concurrency=2)
+
+
+def q_rebalance_sources(sf_dir: str):
+    """Data-mixture rebalancing: every source downsampled to the smallest
+    source's character mass (rates 0.73-1.0 on this corpus, so the filter
+    genuinely differentiates).  DuckDB re-derives the totals, the IEEE
+    rates and the floor(rate*16^8) thresholds end to end."""
+    from ..stages.sampling import rebalance_groups
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return rebalance_groups(ds, "source", "doc_id", "n_chars", seed=42)
+
+
+def _fit_corpus_centroids(sf_dir: str, n_clusters: int = 8, iters: int = 4):
+    from ..stages.clustering import kmeans_fit
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ds, kmeans_fit(ds, "embedding", "vec_id", n_clusters, iters=iters, seed=7)
+
+
+def q_kmeans_clusters(sf_dir: str):
+    """Full-corpus distributed spherical k-means labels.  Fixed-point
+    (int64) centroid accumulation makes every Lloyd step exactly
+    associative, so the labels are parallelism-invariant and
+    golden-snapshot-pinnable despite the iterative float algorithm."""
+    from ..stages.clustering import kmeans_assign
+
+    ds, cents = _fit_corpus_centroids(sf_dir)
+    return kmeans_assign(ds, cents, "embedding", "vec_id")
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup over the k-means clusters: id-ordered greedy keep within
+    each cluster at cosine > 0.3 (corpus max pairwise cosine ~0.51, so the
+    production 0.95 default would be vacuous here — same corpus-matching
+    as ``embedding_near_dups``)."""
+    from ..stages.clustering import semantic_dedup
+
+    ds, cents = _fit_corpus_centroids(sf_dir)
+    return semantic_dedup(ds, "embedding", "vec_id", cents, threshold=0.3)

@@ -149,6 +149,49 @@ def epoch_shuffle(ds, id_col: str, seed: int = 42, epoch: int = 0,
     return out
 
 
+def rebalance_groups(
+    ds, group_col: str, id_col: str, weight_col: str, seed: int = 42,
+):
+    """Data-mixture rebalancing: downsample every group to the MASS of the
+    smallest one (the "equal mixing weights" step of training-corpus
+    assembly — e.g. cap every domain/source at the smallest source's token
+    count).  Two map-only passes:
+
+    1. a tiny per-batch partial aggregate (group, sum(weight)) folded on
+       the driver — k rows for k groups, no shuffle;
+    2. the existing stratified md5-threshold filter with
+       ``rate_g = min_total / total_g`` — so expected kept mass is equal
+       across groups, selection stays a pure function of (seed, row), and
+       DuckDB re-derives the identical rates and thresholds end to end
+       (``float``/``DOUBLE`` division and the ``floor(rate * 16^8)``
+       threshold are the same IEEE-double ops on both engines).
+
+    The smallest group gets rate exactly 1.0 (kept whole); weights must be
+    non-negative.  Returns the filtered Dataset (all columns pass)."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, weight_col]).to_pandas()
+        agg = df.groupby(group_col, sort=False)[weight_col].sum().reset_index()
+        return pa.table({
+            group_col: pa.array(agg[group_col].astype(str), pa.string()),
+            "_w": pa.array(agg[weight_col].astype("int64"), pa.int64()),
+        })
+
+    totals = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(group_col)["_w"].sum()
+    )
+    if (totals < 0).any():
+        raise ValueError("rebalance_groups requires non-negative weights")
+    min_total = int(totals.min())
+    rates = {g: float(min_total) / float(t) for g, t in totals.items()}
+    return ds.map_batches(
+        make_stratified_sample_batch(id_col, group_col, rates, seed=seed),
+        batch_format="pyarrow",
+    )
+
+
 def group_hash_sample(
     ds, group_col: str, id_col: str, k: int, seed: int = 42,
     num_partitions: int = 32,

@@ -46,6 +46,8 @@ GOLDEN_QUERIES = [
     "pack_sequences",
     "approx_char_quantiles",
     "snapshot_near_dedup",
+    "kmeans_clusters",
+    "semantic_dedup",
 ]
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "golden")
@@ -67,9 +69,12 @@ def main():
 
     import __ray_entry__ as entrymod
 
+    only = set(sys.argv[2:])
     queries = entrymod.queries()
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for name in GOLDEN_QUERIES:
+        if only and name not in only:
+            continue
         res = queries[name](sf_dir)
         if isinstance(res, pd.DataFrame):
             table = pa.Table.from_pandas(res, preserve_index=False)
