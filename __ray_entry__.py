@@ -122,6 +122,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full-corpus distributed k-means + SemDeDup semantic dedup
         "kmeans_clusters": q.q_kmeans_clusters,
         "semantic_dedup": q.q_semantic_dedup,
+        # link graph (per-page out-links; host-level in-link rollup)
+        "page_links": q.q_page_links,
+        "host_link_summary": q.q_host_link_summary,
     }
 
 
@@ -742,6 +745,47 @@ def oracle_sql() -> dict[str, str]:
             "WHERE doc_id % 7 = 0) "
             "SELECT min(doc_id) AS doc_id, text "
             "FROM unioned GROUP BY text"
+        ),
+        # link graph: the synthesized HTML's link structure is a pure
+        # function of doc_id (queries._synth_linked_pages), so the oracle
+        # re-derives the exact surviving-link list (the mailto link never
+        # appears) independently of the HTML parser / href resolver.
+        "page_links": (
+            "WITH b AS (SELECT doc_id, "
+            "'h' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS src_host, "
+            "'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS base "
+            "FROM documents) "
+            "SELECT base || '/d/' || CAST(doc_id AS VARCHAR) AS src_url, "
+            "src_host, l.link_no, "
+            "CASE l.link_no WHEN 0 THEN base || '/' "
+            "WHEN 1 THEN base || '/a' WHEN 2 THEN base || '/b' "
+            "WHEN 3 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR) "
+            "|| '.example/p/' || CAST(doc_id * 2 AS VARCHAR) "
+            "ELSE base || '/tos' END AS dst_url, "
+            "CASE l.link_no WHEN 3 THEN "
+            "'site' || CAST(doc_id % 7 AS VARCHAR) || '.example' "
+            "ELSE src_host END AS dst_host, "
+            "CASE l.link_no WHEN 0 THEN 'Home' WHEN 1 THEN 'Archive' "
+            "WHEN 2 THEN 'About' "
+            "WHEN 3 THEN 'read doc ' || CAST(doc_id AS VARCHAR) "
+            "ELSE 'Terms' END AS anchor, "
+            "(l.link_no = 3 AND doc_id % 3 = 0) AS nofollow, "
+            "l.link_no <> 3 AS is_internal "
+            "FROM b CROSS JOIN (VALUES (0),(1),(2),(3),(4)) AS l(link_no)"
+        ),
+        "host_link_summary": (
+            "WITH b AS (SELECT doc_id, "
+            "'h' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS src_host "
+            "FROM documents), "
+            "links AS ("
+            "SELECT src_host, src_host AS dst_host "
+            "FROM b CROSS JOIN (VALUES (0),(1),(2),(4)) AS l(link_no) "
+            "UNION ALL SELECT src_host, "
+            "'site' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS dst_host "
+            "FROM b) "
+            "SELECT dst_host, COUNT(*) AS n_links, "
+            "COUNT(DISTINCT src_host) AS n_src_hosts "
+            "FROM links GROUP BY dst_host"
         ),
     }
 

@@ -168,6 +168,8 @@ def run_bench() -> dict:
     timed("kmeans_clusters", q.q_kmeans_clusters)
     timed("semantic_dedup", q.q_semantic_dedup)
     timed("clean_corpus", q.q_clean_corpus)
+    timed("page_links", q.q_page_links)
+    timed("host_link_summary", q.q_host_link_summary)
 
     out = {
         "metric": "extract_e2e_sec",

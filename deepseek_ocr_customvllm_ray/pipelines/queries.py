@@ -1489,3 +1489,60 @@ def q_semantic_dedup(sf_dir: str):
 
     ds, cents = _fit_corpus_centroids(sf_dir)
     return semantic_dedup(ds, "embedding", "vec_id", cents, threshold=0.3)
+
+
+# --- link graph -------------------------------------------------------------
+
+
+def _synth_linked_pages(sf_dir: str):
+    """documents rows -> pages rows whose HTML carries a deterministic link
+    structure (pure function of doc_id): three nav links, one absolute
+    body link (nofollow on every third doc), one footer link, plus a
+    ``mailto:`` link that must be dropped.  The SQL oracle re-derives the
+    exact link list from doc_id — independent of the extractor."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        urls: list = []
+        payloads: list = []
+        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            rel = ' rel="nofollow"' if i % 3 == 0 else ""
+            html = (
+                "<html><head><title>doc</title></head><body>"
+                '<nav><a href="/">Home</a> <a href="/a">Archive</a> '
+                '<a href="/b">About</a></nav>'
+                f'<div id="main-content"><p>{_html.escape(t or "")}</p>'
+                f'<p><a href="https://site{i % 7}.example/p/{i * 2}"{rel}>'
+                f"read doc {i}</a></p></div>"
+                '<footer>Copyright 2026. <a href="/tos">Terms</a> '
+                '<a href="mailto:x@example.com">mail</a></footer>'
+                "</body></html>"
+            )
+            urls.append(f"https://h{i % 5}.example/d/{i}")
+            payloads.append(html.encode("utf-8"))
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "html": pa.array(payloads, pa.binary()),
+        })
+
+    return ds.map_batches(synth, batch_format="pyarrow")
+
+
+def q_page_links(sf_dir: str):
+    """Per-page out-link extraction: flat one-pass anchor collection (the
+    DOM scorer kills nav/footer, so links get their own parser), stdlib
+    RFC-3986 href resolution, non-http(s) targets dropped — map-only, the
+    html column never shuffles."""
+    from ..stages.links import page_out_links
+
+    return page_out_links(_synth_linked_pages(sf_dir))
+
+
+def q_host_link_summary(sf_dir: str):
+    """Host-level in-link rollup: per-batch (src_host, dst_host) partials
+    -> ONE groupby-sum edge exchange bounded by distinct host pairs ->
+    per-dst-host summary (edge rows are unique per pair, so the distinct
+    source-host count is a plain row count)."""
+    from ..stages.links import host_edges, host_in_links, page_out_links
+
+    return host_in_links(host_edges(page_out_links(_synth_linked_pages(sf_dir))))

@@ -1,0 +1,206 @@
+"""Link-graph extraction: per-page out-links and host-level edge rollups.
+
+Web-pipeline operators over the raw ``html`` column (the same input the
+main-content branch reads — reference contract keys every record by
+``url``, `app/services/task_service.py`): collect every ``<a href>`` with
+its anchor text, resolve relative hrefs against the page URL, and roll the
+link list up into a host-level edge table / in-link summary.  Link graphs
+are the standard web-corpus quality signal (in-degree weighting, spam-farm
+detection) and the crawl-frontier input — the natural sibling of the
+extraction pass, sharing its read.
+
+Unlike main-content extraction, link collection must SEE nav/footer/aside
+subtrees (``functions.html_extract.parse_dom`` kills them at parse time to
+keep boilerplate out of the scoring), so this module uses its own
+flat ``HTMLParser`` subclass that never builds a tree — one O(bytes) pass
+per page, no DOM allocation.
+
+Scale shape:
+- :func:`page_out_links` is map-only (the per-row HTML walk is an
+  inherent string kernel, same budget class as extraction itself); the
+  payload column never shuffles.
+- :func:`host_edges` pre-aggregates (src_host, dst_host) counts inside
+  each batch (the lineage partial pattern) so the ONE groupby exchange
+  moves a row per (edge, batch) — bounded by distinct hosts, not by link
+  volume.
+- :func:`host_in_links` is a second groupby over the (already tiny)
+  host-edge table.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from typing import List, Optional
+from urllib.parse import urljoin, urlsplit
+
+import pyarrow as pa
+
+__all__ = ["collect_links", "make_page_links_batch", "page_out_links",
+           "host_edges", "host_in_links"]
+
+
+class _LinkCollector(HTMLParser):
+    """Flat one-pass ``<a href>`` collector: (href, anchor_text, nofollow)
+    in document order.  Nested anchors (invalid but common in crawled
+    HTML) are flattened into the innermost-open anchor's text."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: List[list] = []  # [href, text_parts, nofollow]
+        self._open: List[list] = []  # stack of in-progress anchors
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag != "a":
+            return
+        href: Optional[str] = None
+        nofollow = False
+        for k, v in attrs:
+            if k == "href" and href is None:
+                href = v
+            elif k == "rel" and v and "nofollow" in v.split():
+                nofollow = True
+        entry = [href, [], nofollow]
+        self._open.append(entry)
+        if href:
+            self.links.append(entry)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "a" and self._open:
+            self._open.pop()
+
+    def handle_data(self, data: str) -> None:
+        if self._open:
+            self._open[-1][1].append(data)
+
+
+def collect_links(html: str) -> List[tuple]:
+    """HTML -> [(href, anchor_text, nofollow)] in document order.
+    Anchor text is whitespace-normalized; hrefs are returned verbatim
+    (resolution is the caller's job).  Deterministic: pure function of
+    the HTML string."""
+    p = _LinkCollector()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass  # truncated/hostile markup: keep whatever parsed cleanly
+    return [
+        (href, " ".join(" ".join(parts).split()), nofollow)
+        for href, parts, nofollow in p.links
+    ]
+
+
+def make_page_links_batch(url_col: str = "url", html_col: str = "html"):
+    """``map_batches`` fn: page rows -> one row per out-link.
+
+    Output ``(src_url, src_host, link_no, dst_url, dst_host, anchor,
+    nofollow, is_internal)``: relative hrefs resolve against the page URL
+    (stdlib ``urljoin`` — RFC 3986, deterministic), only http(s) targets
+    survive (``mailto:``/``javascript:``/fragment-only links drop),
+    ``link_no`` is the link's document-order position among SURVIVING
+    links, and ``is_internal`` marks same-host targets.  Hosts are
+    lowercased with any ``:port`` kept out (``urlsplit().hostname``)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        src_urls: List[str] = []
+        src_hosts: List[str] = []
+        link_nos: List[int] = []
+        dst_urls: List[str] = []
+        dst_hosts: List[str] = []
+        anchors: List[str] = []
+        nofollows: List[bool] = []
+        internals: List[bool] = []
+        for src, payload in zip(
+            batch[url_col].to_pylist(), batch[html_col].to_pylist()
+        ):
+            if payload is None:
+                continue
+            html = (
+                payload.decode("utf-8", errors="replace")
+                if isinstance(payload, (bytes, bytearray))
+                else str(payload)
+            )
+            src_host = (urlsplit(src).hostname or "") if src else ""
+            n = 0
+            for href, anchor, nofollow in collect_links(html):
+                dst = urljoin(src or "", href)
+                parts = urlsplit(dst)
+                if parts.scheme not in ("http", "https") or not parts.hostname:
+                    continue
+                src_urls.append(src)
+                src_hosts.append(src_host)
+                link_nos.append(n)
+                dst_urls.append(dst)
+                dst_hosts.append(parts.hostname)
+                anchors.append(anchor)
+                nofollows.append(bool(nofollow))
+                internals.append(parts.hostname == src_host)
+                n += 1
+        return pa.table({
+            "src_url": pa.array(src_urls, pa.string()),
+            "src_host": pa.array(src_hosts, pa.string()),
+            "link_no": pa.array(link_nos, pa.int64()),
+            "dst_url": pa.array(dst_urls, pa.string()),
+            "dst_host": pa.array(dst_hosts, pa.string()),
+            "anchor": pa.array(anchors, pa.string()),
+            "nofollow": pa.array(nofollows, pa.bool_()),
+            "is_internal": pa.array(internals, pa.bool_()),
+        })
+
+    return fn
+
+
+def page_out_links(ds, url_col: str = "url", html_col: str = "html"):
+    """Map-only out-link table of a pages Dataset (see
+    :func:`make_page_links_batch` for the schema)."""
+    return ds.map_batches(
+        make_page_links_batch(url_col, html_col), batch_format="pyarrow"
+    )
+
+
+def host_edges(links_ds):
+    """Out-link rows -> host-level edge table
+    ``(src_host, dst_host, n_links)``.
+
+    Counts are pre-aggregated per batch (one partial row per edge per
+    batch — the lineage-partial pattern) so the single groupby exchange
+    is bounded by the number of distinct host pairs, not by link volume.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg: dict = {}
+        for s, d in zip(batch["src_host"].to_pylist(), batch["dst_host"].to_pylist()):
+            key = (s, d)
+            agg[key] = agg.get(key, 0) + 1
+        rows = sorted(agg.items())
+        return pa.table({
+            "src_host": pa.array([k[0] for k, _ in rows], pa.string()),
+            "dst_host": pa.array([k[1] for k, _ in rows], pa.string()),
+            "n_p": pa.array([v for _, v in rows], pa.int64()),
+        })
+
+    out = (
+        links_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["src_host", "dst_host"])
+        .aggregate(Sum("n_p", alias_name="n_links"))
+    )
+    return out
+
+
+def host_in_links(edges_ds):
+    """Host-edge table -> per-destination-host in-link summary
+    ``(dst_host, n_links, n_src_hosts)``.
+
+    ``n_src_hosts`` is an exact distinct count: :func:`host_edges` rows
+    are already unique per (src_host, dst_host), so it is a plain row
+    count per dst_host — no second distinct pass."""
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        edges_ds.groupby("dst_host")
+        .aggregate(
+            Sum("n_links", alias_name="n_links"),
+            Count(alias_name="n_src_hosts"),
+        )
+    )

@@ -1,0 +1,121 @@
+"""Link-graph extraction (stages/links.py)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from deepseek_ocr_customvllm_ray.stages.links import (
+    collect_links,
+    host_edges,
+    host_in_links,
+    make_page_links_batch,
+    page_out_links,
+)
+
+
+def _pages(rows):
+    return pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "html": pa.array(
+            [r[1].encode("utf-8") if isinstance(r[1], str) else r[1] for r in rows],
+            pa.binary(),
+        ),
+    })
+
+
+class TestCollectLinks:
+    def test_document_order_and_anchor_normalization(self):
+        html = '<p><a href="/a">one\n  two</a> x <a href="/b"> three </a></p>'
+        assert collect_links(html) == [
+            ("/a", "one two", False),
+            ("/b", "three", False),
+        ]
+
+    def test_nofollow_multi_token_rel(self):
+        html = (
+            '<a href="/x" rel="noopener nofollow">a</a>'
+            '<a href="/y" rel="noopener">b</a>'
+        )
+        assert [(h, nf) for h, _, nf in collect_links(html)] == [
+            ("/x", True), ("/y", False)
+        ]
+
+    def test_nested_anchor_text_goes_to_innermost(self):
+        html = '<a href="/out">outer <a href="/in">inner</a></a>'
+        out = dict((h, t) for h, t, _ in collect_links(html))
+        assert out["/in"] == "inner"
+        assert out["/out"] == "outer"
+
+    def test_hrefless_and_bold_nested_text(self):
+        html = '<a name="top">skip</a><a href="/k">read <b>doc</b> 5</a>'
+        assert collect_links(html) == [("/k", "read doc 5", False)]
+
+    def test_hostile_markup_keeps_clean_prefix(self):
+        assert collect_links('<a href="/a">ok</a><a href="/b') == [
+            ("/a", "ok", False)
+        ]
+
+
+class TestBatchKernel:
+    def test_resolution_drop_and_link_no(self):
+        fn = make_page_links_batch()
+        out = fn(_pages([(
+            "https://h.example/d/1",
+            '<a href="/">r</a><a href="mailto:x@y.z">m</a>'
+            '<a href="javascript:void(0)">j</a>'
+            '<a href="https://other.example/p">abs</a>'
+            '<a href="sub/page">rel</a>',
+        )]))
+        assert out["dst_url"].to_pylist() == [
+            "https://h.example/",
+            "https://other.example/p",
+            "https://h.example/d/sub/page",
+        ]
+        # link_no numbers SURVIVING links (mailto/javascript dropped)
+        assert out["link_no"].to_pylist() == [0, 1, 2]
+        assert out["is_internal"].to_pylist() == [True, False, True]
+        assert out["src_host"].to_pylist() == ["h.example"] * 3
+
+    def test_null_payload_and_port_strip(self):
+        fn = make_page_links_batch()
+        t = pa.table({
+            "url": pa.array(["https://a.example:8080/x", "https://b.example/"]),
+            "html": pa.array([b'<a href="/p">z</a>', None], pa.binary()),
+        })
+        out = fn(t)
+        # urlsplit().hostname strips the port on both sides of the compare
+        assert out["src_host"].to_pylist() == ["a.example"]
+        assert out["dst_host"].to_pylist() == ["a.example"]
+        assert out["is_internal"].to_pylist() == [True]
+
+
+class TestRollups:
+    def _links(self):
+        import ray.data as rd
+
+        pages = _pages([
+            ("https://a.example/1",
+             '<a href="https://b.example/x">1</a><a href="https://b.example/y">2</a>'),
+            ("https://a.example/2", '<a href="https://b.example/x">3</a>'),
+            ("https://c.example/1", '<a href="https://b.example/z">4</a>'
+                                    '<a href="/local">5</a>'),
+        ])
+        return page_out_links(rd.from_arrow(pages))
+
+    def test_host_edges_counts(self):
+        edges = {
+            (r["src_host"], r["dst_host"]): r["n_links"]
+            for r in host_edges(self._links()).take_all()
+        }
+        assert edges == {
+            ("a.example", "b.example"): 3,
+            ("c.example", "b.example"): 1,
+            ("c.example", "c.example"): 1,
+        }
+
+    def test_host_in_links_summary(self):
+        rows = {
+            r["dst_host"]: (r["n_links"], r["n_src_hosts"])
+            for r in host_in_links(host_edges(self._links())).take_all()
+        }
+        assert rows == {"b.example": (4, 2), "c.example": (1, 1)}

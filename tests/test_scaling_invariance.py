@@ -77,7 +77,8 @@ for name in ("q_minhash_clusters", "q_ngram_jaccard_pairs", "q_simhash_signature
              "q_normalize_text", "q_chunk_documents", "q_doc_top_terms",
              "q_events_rolling", "q_inverted_index", "q_group_sample",
              "q_quality_model_score", "q_rebalance_sources",
-             "q_kmeans_clusters", "q_semantic_dedup"):
+             "q_kmeans_clusters", "q_semantic_dedup",
+             "q_page_links", "q_host_link_summary"):
     res = getattr(q, name)(%(sf)r)
     df = res.to_pandas() if hasattr(res, "to_pandas") else res
     df = df[sorted(df.columns)]
