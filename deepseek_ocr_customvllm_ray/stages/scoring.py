@@ -85,9 +85,16 @@ class QualityScorer:
 
 def score_quality(
     ds, text_col: str = "text", id_col: str = "doc_id",
-    weights: dict | None = None, threshold: int = 0, concurrency: int = 4,
+    weights: dict | None = None, threshold: int = 0, concurrency=4,
 ):
-    """Actor-pool scoring stage (weights load once per actor)."""
+    """Actor-pool scoring stage (weights load once per actor).
+
+    An int ``concurrency`` is treated as the pool MAX with min size 1
+    (``(1, n)``): a fixed pool of n actors each holding a CPU can consume
+    every core of a small cluster and permanently starve the upstream read
+    tasks — observed as a livelock at ``num_cpus=2`` with ``concurrency=2``.
+    Pass a ``(min, max)`` tuple explicitly to pin a floor.
+    """
 
     class _Bound(QualityScorer):
         def __init__(self):
@@ -95,4 +102,6 @@ def score_quality(
             self.text_col = text_col
             self.id_col = id_col
 
+    if isinstance(concurrency, int):
+        concurrency = (1, max(1, concurrency))
     return ds.map_batches(_Bound, concurrency=concurrency, batch_format="pyarrow")
