@@ -77,6 +77,12 @@ class ExtractConfig:
     #                 payload-length read either way).
     winners_strategy: str = "auto"
     winners_local_max_rows: int = 10_000_000
+    # "auto" takes the distributed path whenever the cluster has at least
+    # this many CPUs, regardless of row count: a wide cluster amortizes the
+    # tiny meta groupby, and the driver-side scan is the one stage that
+    # competes with co-located background load (round-3 bench recorded it
+    # 1.8x slower than its own distributed twin in a contended window).
+    winners_distributed_min_cpus: int = 16
     # Dedup exchange for the page-exploded/fused pipelines:
     # "broadcast" — meta-only winner resolution over the validated stream +
     #               broadcast filter; payload rows never cross an all-to-all
