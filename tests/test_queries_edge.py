@@ -1,0 +1,110 @@
+"""Edge-case regression tests for latent hazards flagged in round-3 review:
+
+1. ns-precision timestamps through the distributed dup-winner resolution
+   (``dedup_meta.agg_partition`` must derive its empty-frame dtype from the
+   input, not pin ``datetime64[us]`` — mixing units across partitions left
+   concat promotion to chance);
+2. null keys through the broadcast anti-join (``q_customers_without_orders``
+   must not TypeError sorting a None key, and must pin the documented
+   null semantics: null order keys dropped from the broadcast set, null
+   customer keys excluded from the count).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def test_distributed_winners_ns_precision_timestamps(ray_session, tmp_path):
+    """warc_ts stored as timestamp[ns]: duplicate resolution must pick the
+    earliest crawl, with most partitions of the 64-way winner exchange empty
+    (exercising the dtype-derived empty-frame path in agg_partition)."""
+    from deepseek_ocr_customvllm_ray.stages.dedup_meta import (
+        compute_dup_winners_distributed,
+    )
+
+    body = b"<html><body><div id=m><p>ns precision duplicate body, long enough to extract.</p></div></body></html>"
+    t = pa.table({
+        "url": ["https://ns/dup", "https://ns/dup", "https://ns/solo"],
+        "warc_ts": pa.array(
+            [
+                dt.datetime(2026, 2, 1),
+                dt.datetime(2026, 1, 1),
+                dt.datetime(2026, 1, 5),
+            ],
+            pa.timestamp("ns"),
+        ),
+        "html": pa.array([body, body + b"!", body], pa.binary()),
+        "text": [""] * 3,
+        "lang": ["en"] * 3,
+    })
+    p = str(tmp_path / "ns_pages.parquet")
+    pq.write_table(t, p)
+
+    winners, clone_rows = compute_dup_winners_distributed(p)
+    assert clone_rows is None
+    assert set(winners) == {"https://ns/dup"}
+    (ts, _sha) = winners["https://ns/dup"]
+    # winner is the EARLIEST crawl regardless of the storage unit
+    assert pa.scalar(ts).cast(pa.timestamp("us")).as_py() == dt.datetime(2026, 1, 1)
+
+
+def test_maponly_pipeline_ns_precision_end_to_end(ray_session, tmp_path):
+    """Full map-only flagship over a timestamp[ns] input: the winner filter
+    casts the broadcast us-precision winning ts to the batch's unit, so the
+    dedup stays exact end to end."""
+    from deepseek_ocr_customvllm_ray.config import ExtractConfig
+    from deepseek_ocr_customvllm_ray.pipelines.extract import (
+        build_extract_pipeline_maponly,
+    )
+
+    early = b"<html><body><div id=m><p>the EARLY ns-unit crawl body, long enough to extract.</p></div></body></html>"
+    late = b"<html><body><div id=m><p>the LATE ns-unit crawl body, long enough to extract.</p></div></body></html>"
+    t = pa.table({
+        "url": ["https://ns/e2e", "https://ns/e2e"],
+        "warc_ts": pa.array(
+            [dt.datetime(2026, 1, 1), dt.datetime(2026, 3, 1)], pa.timestamp("ns")
+        ),
+        "html": pa.array([early, late], pa.binary()),
+        "text": [""] * 2,
+        "lang": ["en"] * 2,
+    })
+    p = str(tmp_path / "ns_e2e.parquet")
+    pq.write_table(t, p)
+
+    for strategy in ("local", "distributed"):
+        out = build_extract_pipeline_maponly(
+            p, ExtractConfig(winners_strategy=strategy)
+        ).to_pandas()
+        assert len(out) == 1, strategy
+        assert "EARLY" in out["extracted_text"].iloc[0], strategy
+
+
+def _write_tpch_minis(tmp_path):
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([10, 20, None, 10], pa.int64()),
+    })
+    customer = pa.table({
+        "c_custkey": pa.array([10, 20, 30, 40, None], pa.int64()),
+        "c_name": ["a", "b", "c", "d", "e"],
+    })
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    pq.write_table(customer, str(tmp_path / "customer.parquet"))
+
+
+def test_customers_without_orders_null_keys(ray_session, tmp_path):
+    """Null o_custkey must not TypeError the broadcast-set sort, and the
+    documented semantics hold: null order keys are dropped from the set
+    (they can never equal anything) and a null c_custkey row is excluded
+    from the count.  Customers 30 and 40 have no orders -> 2."""
+    from deepseek_ocr_customvllm_ray.pipelines.queries import (
+        q_customers_without_orders,
+    )
+
+    _write_tpch_minis(tmp_path)
+    out = q_customers_without_orders(str(tmp_path))
+    assert out["n_customers"].tolist() == [2]
