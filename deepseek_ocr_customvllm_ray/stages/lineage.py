@@ -52,11 +52,17 @@ def make_lineage_partials(n_shards: int):
     return fn
 
 
-def host_lineage(docs_ds, n_shards: int = 64):
-    """Extracted docs -> per-host lineage records (small table)."""
+def host_lineage(docs_ds, n_shards: int = 64, agg_blocks: int = 1):
+    """Extracted docs -> per-host lineage records (small table).
+
+    ``agg_blocks``: the partial table coalesces to this many blocks before
+    the groupby — Ray's sort shuffle emits schema-less empty bundles for
+    empty input blocks (warning spam + divergent downstream schema), and
+    the partial table is host-bounded so one block is the right default."""
     import pandas as pd
 
     partials = docs_ds.map_batches(make_lineage_partials(n_shards), batch_format="pyarrow")
+    partials = partials.repartition(agg_blocks)
 
     def fold(group: pd.DataFrame) -> pd.DataFrame:
         h = 0

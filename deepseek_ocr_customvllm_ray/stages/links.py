@@ -39,27 +39,47 @@ __all__ = ["collect_links", "make_page_links_batch", "page_out_links",
            "host_edges", "host_in_links"]
 
 
+# Block-level elements implicitly close an open <a> (browsers auto-close
+# anchors at block boundaries; stdlib HTMLParser does not) — without this,
+# one missing </a> in crawled HTML turns the whole rest of the page into
+# that anchor's text.
+_BLOCK_TAGS = frozenset({
+    "p", "div", "table", "tr", "td", "th", "li", "ul", "ol", "dl",
+    "section", "article", "aside", "nav", "header", "footer", "main",
+    "form", "blockquote", "pre", "hr",
+    "h1", "h2", "h3", "h4", "h5", "h6",
+})
+
+# Cap on accumulated anchor-text characters per link: bounds memory on
+# hostile/truncated markup where an anchor never closes.
+_MAX_ANCHOR_CHARS = 4096
+
+
 class _LinkCollector(HTMLParser):
     """Flat one-pass ``<a href>`` collector: (href, anchor_text, nofollow)
     in document order.  Nested anchors (invalid but common in crawled
-    HTML) are flattened into the innermost-open anchor's text."""
+    HTML) are flattened into the innermost-open anchor's text; block-level
+    start tags implicitly close open anchors (browser behavior)."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self.links: List[list] = []  # [href, text_parts, nofollow]
+        self.links: List[list] = []  # [href, text_parts, nofollow, n_chars]
         self._open: List[list] = []  # stack of in-progress anchors
 
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag != "a":
+            if tag in _BLOCK_TAGS and self._open:
+                self._open.clear()
             return
         href: Optional[str] = None
         nofollow = False
         for k, v in attrs:
             if k == "href" and href is None:
                 href = v
-            elif k == "rel" and v and "nofollow" in v.split():
+            elif k == "rel" and v and "nofollow" in v.lower().split():
+                # rel tokens are ASCII case-insensitive (rel="NoFollow")
                 nofollow = True
-        entry = [href, [], nofollow]
+        entry = [href, [], nofollow, 0]
         self._open.append(entry)
         if href:
             self.links.append(entry)
@@ -70,7 +90,10 @@ class _LinkCollector(HTMLParser):
 
     def handle_data(self, data: str) -> None:
         if self._open:
-            self._open[-1][1].append(data)
+            top = self._open[-1]
+            if top[3] < _MAX_ANCHOR_CHARS:
+                top[1].append(data[: _MAX_ANCHOR_CHARS - top[3]])
+                top[3] += len(data)
 
 
 def collect_links(html: str) -> List[tuple]:
@@ -86,7 +109,7 @@ def collect_links(html: str) -> List[tuple]:
         pass  # truncated/hostile markup: keep whatever parsed cleanly
     return [
         (href, " ".join(" ".join(parts).split()), nofollow)
-        for href, parts, nofollow in p.links
+        for href, parts, nofollow, _n in p.links
     ]
 
 
@@ -123,10 +146,16 @@ def make_page_links_batch(url_col: str = "url", html_col: str = "html"):
             src_host = (urlsplit(src).hostname or "") if src else ""
             n = 0
             for href, anchor, nofollow in collect_links(html):
+                if href.startswith("#"):
+                    continue  # same-page fragment link, never an edge
                 dst = urljoin(src or "", href)
                 parts = urlsplit(dst)
                 if parts.scheme not in ("http", "https") or not parts.hostname:
                     continue
+                if parts.fragment and parts._replace(fragment="").geturl() == (
+                    src or ""
+                ):
+                    continue  # resolves to this page plus a fragment: self-edge
                 src_urls.append(src)
                 src_hosts.append(src_host)
                 link_nos.append(n)
@@ -158,13 +187,21 @@ def page_out_links(ds, url_col: str = "url", html_col: str = "html"):
     )
 
 
-def host_edges(links_ds):
+def host_edges(links_ds, agg_blocks: int = 1):
     """Out-link rows -> host-level edge table
     ``(src_host, dst_host, n_links)``.
 
     Counts are pre-aggregated per batch (one partial row per edge per
     batch — the lineage-partial pattern) so the single groupby exchange
     is bounded by the number of distinct host pairs, not by link volume.
+
+    ``agg_blocks``: the partial table is coalesced to this many blocks
+    before the groupby.  Ray's sort-based aggregate emits schema-less
+    empty bundles for empty input blocks (a warning per occurrence, and
+    downstream operators see a divergent schema); the partial table is
+    distinct-pair-bounded, so one block is the right default — raise it
+    for host universes above ~10^7 pairs, where a few non-empty blocks
+    beat one big one.
     """
     from ray.data.aggregate import Sum
 
@@ -182,23 +219,27 @@ def host_edges(links_ds):
 
     out = (
         links_ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(agg_blocks)
         .groupby(["src_host", "dst_host"])
         .aggregate(Sum("n_p", alias_name="n_links"))
     )
     return out
 
 
-def host_in_links(edges_ds):
+def host_in_links(edges_ds, agg_blocks: int = 1):
     """Host-edge table -> per-destination-host in-link summary
     ``(dst_host, n_links, n_src_hosts)``.
 
     ``n_src_hosts`` is an exact distinct count: :func:`host_edges` rows
     are already unique per (src_host, dst_host), so it is a plain row
-    count per dst_host — no second distinct pass."""
+    count per dst_host — no second distinct pass.  ``agg_blocks``: see
+    :func:`host_edges` (same empty-block rationale; the edge table is
+    already tiny)."""
     from ray.data.aggregate import Count, Sum
 
     return (
-        edges_ds.groupby("dst_host")
+        edges_ds.repartition(agg_blocks)
+        .groupby("dst_host")
         .aggregate(
             Sum("n_links", alias_name="n_links"),
             Count(alias_name="n_src_hosts"),

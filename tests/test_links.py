@@ -55,6 +55,29 @@ class TestCollectLinks:
             ("/a", "ok", False)
         ]
 
+    def test_nofollow_rel_is_case_insensitive(self):
+        html = '<a href="/x" rel="NoFollow">a</a><a href="/y" rel="NOFOLLOW ugc">b</a>'
+        assert [(h, nf) for h, _, nf in collect_links(html)] == [
+            ("/x", True), ("/y", True)
+        ]
+
+    def test_unclosed_anchor_closed_by_block_tag(self):
+        # a missing </a> must not swallow the rest of the document into the
+        # anchor's text: block-level start tags implicitly close open anchors
+        html = (
+            '<a href="/open">label<p>paragraph text that is NOT anchor text</p>'
+            '<a href="/next">next</a>'
+        )
+        out = dict((h, t) for h, t, _ in collect_links(html))
+        assert out["/open"] == "label"
+        assert out["/next"] == "next"
+
+    def test_anchor_text_capped_on_never_closing_anchor(self):
+        html = '<a href="/cap">' + ("word " * 5000)  # never closes, no blocks
+        (href, text, _nf), = collect_links(html)
+        assert href == "/cap"
+        assert len(text) <= 4096
+
 
 class TestBatchKernel:
     def test_resolution_drop_and_link_no(self):
@@ -75,6 +98,17 @@ class TestBatchKernel:
         assert out["link_no"].to_pylist() == [0, 1, 2]
         assert out["is_internal"].to_pylist() == [True, False, True]
         assert out["src_host"].to_pylist() == ["h.example"] * 3
+
+    def test_fragment_links_drop(self):
+        fn = make_page_links_batch()
+        out = fn(_pages([(
+            "https://h.example/d/1",
+            '<a href="#top">toc</a>'            # fragment-only: drop
+            '<a href="/d/1#sec">self+frag</a>'  # resolves to this page: drop
+            '<a href="/d/2#sec">other</a>',     # different page: keep
+        )]))
+        assert out["dst_url"].to_pylist() == ["https://h.example/d/2#sec"]
+        assert out["link_no"].to_pylist() == [0]
 
     def test_null_payload_and_port_strip(self):
         fn = make_page_links_batch()
