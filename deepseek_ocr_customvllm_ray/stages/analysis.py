@@ -37,34 +37,159 @@ def make_token_count_batch(text_col: str, id_col: str):
     return fn
 
 
+# ---------------------------------------------------------------------------
+# Python-split() parity helpers.  The quality / langid / fingerprint kernels
+# are serial references in ``functions/textstats.py`` built on str.split();
+# the vectorized twins below must reproduce them EXACTLY, so the RE2 split
+# uses Python's str.isspace() character set (RE2's \s is ASCII-only and
+# misses \x0b, \x1c-\x1f, \x85, \xa0 and the Unicode Zs/Zl/Zp spaces).
+
+_PY_WS_CHARS = (
+    # str.isspace() character set: ASCII whitespace + FS/GS/RS/US + NEL +
+    # NBSP + Ogham space + Zs runs + LS/PS + NNBSP + MMSP + ideographic space
+    "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0\u1680"
+    + "".join(chr(c) for c in range(0x2000, 0x200B))
+    + "\u2028\u2029\u202f\u205f\u3000"
+)
+_PY_WS_CLASS = "[" + "".join(f"\\x{{{ord(c):X}}}" for c in _PY_WS_CHARS) + "]"
+# Python re's unicode \w is [\p{L}\p{N}_]; punctuation = neither word nor space
+_PY_PUNCT_CLASS = "[^\\p{L}\\p{N}_" + _PY_WS_CLASS[1:]
+
+
+def _py_split_words(texts):
+    """str.split() parity over a string array: returns ``(n_tokens int64
+    numpy, flat_words StringArray)`` where empty/whitespace-only/null rows
+    contribute 0 tokens and nothing to the flat array.
+
+    Uses the utf8proc whitespace kernels, NOT a regex: they reproduce
+    str.split()/str.strip() exactly (verified char-by-char over all of
+    Unicode in tests) and run ~4x faster than ``split_pattern_regex``."""
+    texts = pc.fill_null(texts, "")
+    trimmed = pc.utf8_trim_whitespace(texts)
+    lists = pc.utf8_split_whitespace(trimmed)
+    counts = pc.list_value_length(lists).cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    empty = pc.equal(pc.utf8_length(trimmed), 0).to_numpy(zero_copy_only=False)
+    counts = np.where(empty, 0, counts)
+    flat = pc.list_flatten(lists)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    # empty rows split to [''] — drop exactly those artifacts (real tokens
+    # are never empty after a trim + run split)
+    if empty.any():
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+    return counts, flat
+
+
+def _segment_sums(values: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Per-row sums of a flat array segmented by ``counts`` (cumsum-based:
+    safe for zero-length segments, wraps naturally for unsigned dtypes)."""
+    cs = np.concatenate([np.zeros(1, values.dtype), np.cumsum(values)])
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    return cs[ends] - cs[starts]
+
+
 def make_quality_batch(text_col: str, id_col: str):
+    """Vectorized quality features (exact twin of
+    ``textstats.quality_features`` — differential-tested): ONE regex split
+    per batch, flat-array segment sums for token stats, RE2 count kernels
+    for the punct/digit ratios.  No per-row Python."""
+
+    en_stops = pa.array(sorted(ts._LANG_STOPWORDS["en"]), pa.string())
+
     def fn(batch: pa.Table) -> pa.Table:
-        rows = {
-            "doc_id": batch[id_col].to_pylist(),
-            "n_chars": [], "n_tokens": [], "mean_token_len": [],
-            "punct_ratio": [], "stopword_ratio": [], "digit_ratio": [],
-        }
-        for t in batch[text_col].to_pylist():
-            f = ts.quality_features(t or "")
-            for k in ("n_chars", "n_tokens", "mean_token_len", "punct_ratio",
-                      "stopword_ratio", "digit_ratio"):
-                rows[k].append(f[k])
+        texts = pc.fill_null(batch[text_col], "")
+        n_chars = pc.utf8_length(texts).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        m, flat = _py_split_words(texts)
+
+        word_lens = pc.utf8_length(flat).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        len_sums = _segment_sums(word_lens, m)
+        stop_hits = pc.is_in(
+            pc.utf8_lower(flat), value_set=en_stops
+        ).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        stop_sums = _segment_sums(stop_hits, m)
+
+        n_punct = pc.count_substring_regex(
+            texts, pattern=_PY_PUNCT_CLASS
+        ).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n_digit = pc.count_substring_regex(
+            texts, pattern=r"\p{Nd}"
+        ).cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+        has = m > 0
+        mf = np.maximum(m, 1).astype(np.float64)
+        ncf = np.maximum(n_chars, 1).astype(np.float64)
         return pa.table({
-            "doc_id": pa.array(rows["doc_id"]),
-            "n_chars": pa.array(rows["n_chars"], pa.int64()),
-            "n_tokens": pa.array(rows["n_tokens"], pa.int64()),
-            "mean_token_len": pa.array(rows["mean_token_len"], pa.float64()),
-            "punct_ratio": pa.array(rows["punct_ratio"], pa.float64()),
-            "stopword_ratio": pa.array(rows["stopword_ratio"], pa.float64()),
-            "digit_ratio": pa.array(rows["digit_ratio"], pa.float64()),
+            "doc_id": batch[id_col],
+            "n_chars": pa.array(n_chars, pa.int64()),
+            "n_tokens": pa.array(m, pa.int64()),
+            "mean_token_len": pa.array(
+                np.where(has, len_sums / mf, 0.0), pa.float64()
+            ),
+            "punct_ratio": pa.array(
+                np.where(has & (n_chars > 0), n_punct / ncf, 0.0), pa.float64()
+            ),
+            "stopword_ratio": pa.array(
+                np.where(has, stop_sums / mf, 0.0), pa.float64()
+            ),
+            "digit_ratio": pa.array(
+                np.where(has & (n_chars > 0), n_digit / ncf, 0.0), pa.float64()
+            ),
         })
 
     return fn
 
 
 def make_langid_batch(text_col: str, id_col: str):
+    """Vectorized language ID (exact twin of ``textstats.detect_language``):
+    CJK fast path = one RE2 match over the first 2000 chars; stopword vote =
+    one split + 5 ``is_in`` passes over the flattened first-500-words array,
+    argmax with first-language tie-break (the serial kernel's strict-``>``
+    iteration order)."""
+    langs = list(ts._LANG_STOPWORDS)
+    stop_sets = [
+        pa.array(sorted(ts._LANG_STOPWORDS[l]), pa.string()) for l in langs
+    ]
+
     def fn(batch: pa.Table) -> pa.Table:
-        preds = [ts.detect_language(t or "") for t in batch[text_col].to_pylist()]
+        texts = pc.fill_null(batch[text_col], "")
+        n = len(texts)
+        head = pc.utf8_slice_codeunits(texts, start=0, stop=2000)
+        is_cjk = pc.match_substring_regex(
+            head, pattern=r"[\x{4E00}-\x{9FFF}]"
+        ).to_numpy(zero_copy_only=False)
+
+        trimmed = pc.utf8_trim_whitespace(texts)
+        lists = pc.list_slice(pc.utf8_split_whitespace(trimmed), 0, 500)
+        m = pc.list_value_length(lists).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        empty = pc.equal(pc.utf8_length(trimmed), 0).to_numpy(zero_copy_only=False)
+        m = np.where(empty, 0, m)
+        flat = pc.list_flatten(lists)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if empty.any():
+            flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        lower = pc.utf8_lower(flat)
+
+        scores = np.empty((len(langs), n), dtype=np.int64)
+        for i, vs in enumerate(stop_sets):
+            hits = pc.is_in(lower, value_set=vs).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            scores[i] = _segment_sums(hits, m)
+        best = np.argmax(scores, axis=0)  # first max = serial strict-> order
+        best_score = scores[best, np.arange(n)]
+        lang_arr = np.asarray(langs, dtype=object)
+        preds = np.where(best_score > 0, lang_arr[best], "und")
+        preds = np.where(is_cjk, "zh", preds)
         return pa.table({
             "doc_id": batch[id_col],
             "pred_lang": pa.array(preds, pa.string()),
@@ -74,11 +199,43 @@ def make_langid_batch(text_col: str, id_col: str):
 
 
 def make_fingerprint_batch(text_col: str, id_col: str):
+    """Vectorized 64-bit document fingerprint (exact twin of
+    ``textstats.doc_fingerprint``): the serial rolling hash
+    ``h = h*B + crc32(w)`` equals ``SEED*B^m + sum(crc_i * B^(m-1-i))`` mod
+    2^64, so per batch: one crc32 C-call per word (the only remaining
+    Python loop — vocabulary-bounded, no Arrow crc kernel exists), then the
+    polynomial fold as pure uint64 numpy (wraparound is mod-2^64)."""
+    import zlib
+
+    B = ts._FP_BASE
+    SEED = ts._FP_SEED
+
     def fn(batch: pa.Table) -> pa.Table:
-        fps = [ts.doc_fingerprint(t or "") for t in batch[text_col].to_pylist()]
+        m, flat = _py_split_words(batch[text_col])
+        n = len(m)
+        total = int(m.sum())
+        max_m = int(m.max()) if n else 0
+        pows = np.ones(max_m + 1, dtype=np.uint64)
+        if max_m:
+            pows[1:] = np.cumprod(np.full(max_m, B, dtype=np.uint64))
+        if total:
+            crc_flat = np.fromiter(
+                (zlib.crc32(w.encode("utf-8")) for w in flat.to_pylist()),
+                dtype=np.uint64, count=total,
+            )
+            ends = np.cumsum(m)
+            starts = ends - m
+            pos = np.arange(total, dtype=np.int64) - np.repeat(starts, m)
+            exps = np.repeat(m, m) - 1 - pos
+            terms = crc_flat * pows[exps]
+            h = SEED * pows[m] + _segment_sums(terms, m)
+        else:
+            h = SEED * pows[m]  # every row empty -> SEED * B^0
         return pa.table({
             "doc_id": batch[id_col],
-            "fingerprint": pa.array(fps, pa.int64()),
+            "fingerprint": pa.array(
+                (h >> np.uint64(1)).astype(np.int64), pa.int64()
+            ),
         })
 
     return fn

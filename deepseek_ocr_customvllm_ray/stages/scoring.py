@@ -102,6 +102,13 @@ def score_quality(
             self.text_col = text_col
             self.id_col = id_col
 
-    if isinstance(concurrency, int):
+    if type(concurrency) is int:  # bool is an int subclass; don't coerce it
+        import logging
+
+        logging.getLogger(__name__).info(
+            "score_quality: int concurrency=%d coerced to autoscaling pool "
+            "(1, %d); pass a (min, max) tuple to pin a floor", concurrency,
+            max(1, concurrency),
+        )
         concurrency = (1, max(1, concurrency))
     return ds.map_batches(_Bound, concurrency=concurrency, batch_format="pyarrow")

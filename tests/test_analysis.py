@@ -189,3 +189,80 @@ class TestRepetitionStats:
             max_dup_bigram_frac=0.2, max_top_word_frac=0.5, min_words=2,
         ).to_pandas()
         assert sorted(out["doc_id"]) == [1]
+
+
+class TestVectorizedParity:
+    """The vectorized quality/langid/fingerprint kernels must reproduce the
+    serial ``functions/textstats.py`` references EXACTLY — over the driver
+    corpus and over adversarial unicode edge cases (exotic whitespace,
+    accented words, CJK, digits beyond ASCII)."""
+
+    EDGE_TEXTS = [
+        None, "", "   ", "\t\n\x0b\x1c\x85\xa0 　",
+        "one two two THE the of!",
+        "l'été où ça? déjà-vu: 42,7% élève",      # fr accents + punct
+        "der die das und zu den",                  # de stopwords
+        "和平与发展 the of",                        # CJK fast path
+        "a b c d",                  # nbsp/LS/PS separators
+        "x " * 600 + "le la les de des et un",     # >500-word langid cap
+        "１２３ 123 ٣٤٥",                           # fullwidth + arabic-indic Nd
+        "word",
+        "...!!!,,,",
+        "Và của là có cho một ngườI đƯợc",         # vi + mixed case
+    ]
+
+    def _corpus_texts(self):
+        import os
+        import pyarrow.parquet as pq
+
+        p = "/root/testdata/sf0.01/documents.parquet"
+        if not os.path.exists(p):
+            return []
+        return pq.read_table(p, columns=["text"])["text"].to_pylist()
+
+    def _table(self, texts):
+        return pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+
+    def test_quality_batch_matches_serial(self):
+        texts = self.EDGE_TEXTS + self._corpus_texts()
+        out = analysis.make_quality_batch("text", "doc_id")(self._table(texts))
+        for i, t in enumerate(texts):
+            f = ts.quality_features(t or "")
+            for k in ("n_chars", "n_tokens", "mean_token_len", "punct_ratio",
+                      "stopword_ratio", "digit_ratio"):
+                got = out[k][i].as_py()
+                assert got == f[k], (i, k, got, f[k], (t or "")[:80])
+
+    def test_langid_batch_matches_serial(self):
+        texts = self.EDGE_TEXTS + self._corpus_texts()
+        out = analysis.make_langid_batch("text", "doc_id")(self._table(texts))
+        got = out["pred_lang"].to_pylist()
+        want = [ts.detect_language(t or "") for t in texts]
+        assert got == want
+
+    def test_fingerprint_batch_matches_serial(self):
+        texts = self.EDGE_TEXTS + self._corpus_texts()
+        out = analysis.make_fingerprint_batch("text", "doc_id")(self._table(texts))
+        got = out["fingerprint"].to_pylist()
+        want = [ts.doc_fingerprint(t or "") for t in texts]
+        assert got == want
+
+
+def test_utf8proc_whitespace_kernels_match_python_split():
+    """The split/trim kernels the vectorized stages rely on must agree with
+    str.split()/str.strip() on EVERY Unicode whitespace character (and not
+    split on lookalikes like ZWSP/BOM/Mongolian vowel separator)."""
+    import pyarrow.compute as pc
+
+    ws = [chr(c) for c in range(0x110000) if chr(c).isspace()]
+    lookalikes = [chr(c) for c in (0x180E, 0x200B, 0xFEFF)]
+    probes = ws + lookalikes
+    arr = pa.array([f"a{c}b" for c in probes])
+    got = pc.utf8_split_whitespace(arr).to_pylist()
+    want = [f"a{c}b".split() for c in probes]
+    assert got == want
+    trimmed = pc.utf8_trim_whitespace(pa.array([f"{c}x{c}" for c in probes]))
+    assert trimmed.to_pylist() == [f"{c}x{c}".strip() for c in probes]
