@@ -118,6 +118,103 @@ def crop_margin_dims(width: int, height: int, margin: int = 60) -> Tuple[int, in
     return new_w, new_h
 
 
+# --- real pixel kernels (M1, M2, M5, M8) — import-guarded -----------------
+# These operate on PIL-like images (anything with .mode/.size/.convert/
+# .crop/.resize/.rotate); PIL itself is only required to DECODE pages, so
+# the slicing arithmetic stays testable in this container via a fake image.
+
+
+def pil_available() -> bool:
+    try:
+        from PIL import Image  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def crop_flexible_pixels(img, margin: int = 60):
+    """M2 real pixel crop (process/image_process.py:21-61): RGBA/P -> RGB,
+    fixed ``margin`` px off all four sides, returned unchanged when the
+    crop would be degenerate or anything raises (the reference swallows
+    all exceptions and passes the input through)."""
+    try:
+        if getattr(img, "mode", None) in ("RGBA", "P"):
+            img = img.convert("RGB")
+        width, height = img.size
+        left, top = margin, margin
+        right, bottom = width - margin, height - margin
+        if left < right and top < bottom:
+            return img.crop((left, top, right, bottom))
+        return img
+    except Exception:
+        return img
+
+
+def detect_and_correct_skew(img):
+    """M1 real deskew (process/image_process.py:63-95): Tesseract OSD
+    rotation angle, applied as a bound rotation (canvas expands; the
+    reference uses ``imutils.rotate_bound`` which rotates CLOCKWISE by
+    ``angle``, so the PIL equivalent is ``rotate(-angle, expand=True)``).
+    Any failure — pytesseract absent, OSD error — returns the input
+    unchanged, exactly the reference's failure path."""
+    try:
+        import numpy as np
+        import pytesseract
+        from pytesseract import Output
+
+        results = pytesseract.image_to_osd(
+            np.array(img), output_type=Output.DICT
+        )
+        angle = results.get("rotate", 0)
+        if angle:
+            return img.rotate(-angle, expand=True)
+        return img
+    except Exception:
+        return img
+
+
+def dynamic_preprocess_pixels(
+    img,
+    min_num: int = MIN_CROPS,
+    max_num: int = MAX_CROPS,
+    image_size: int = IMAGE_SIZE,
+    use_thumbnail: bool = False,
+):
+    """M5 real dynamic tiling (process/image_process.py:131-169): pick the
+    closest tile grid ``(i, j)``, resize to ``(i*s, j*s)``, slice row-major
+    into ``i*j`` ``s x s`` tiles.  Returns ``(tiles, (i, j))``.  Pure
+    arithmetic over the image protocol — the grid/box math is shared with
+    :func:`count_tiles` (the dims-level contract) so both stay in lockstep.
+    """
+    width, height = img.size
+    grid = find_closest_aspect_ratio(
+        width / height, candidate_ratios(min_num, max_num), width, height,
+        image_size,
+    )
+    tw, th = image_size * grid[0], image_size * grid[1]
+    cols = tw // image_size
+    resized = img.resize((tw, th))
+    tiles = []
+    for k in range(grid[0] * grid[1]):
+        box = (
+            (k % cols) * image_size,
+            (k // cols) * image_size,
+            (k % cols + 1) * image_size,
+            (k // cols + 1) * image_size,
+        )
+        tiles.append(resized.crop(box))
+    if use_thumbnail and len(tiles) != 1:
+        tiles.append(img.resize((image_size, image_size)))
+    return tiles, grid
+
+
+def prepare_page_image(img, margin: int = 60):
+    """M8 single-page prep, real-pixel path: deskew THEN margin-crop — the
+    reference's order matters (postprocess_md.py:168-180)."""
+    return crop_flexible_pixels(detect_and_correct_skew(img), margin=margin)
+
+
 # --- M6 ImageTransform contract -------------------------------------------
 
 

@@ -69,14 +69,20 @@ def warm_identity_batch(batch):
 
 
 def build_extract_pipeline(ds, cfg: ExtractConfig = None, dedup: bool = True,
-                           renderer=None):
+                           renderer=None, engine_cls=None,
+                           engine_kwargs: Optional[dict] = None,
+                           engine_resources: Optional[dict] = None):
     """pages Dataset -> extracted-documents Dataset (EXTRACTED_SCHEMA).
 
     Single consumption of the routed/deduped stream: html docs ride the
     unified page-row schema (one logical page) so the pipeline never forks
     (a fork would re-execute the read + dedup shuffle once per branch).
     ``renderer`` (a stages.ocr_stage.PageRenderer) swaps the pdf page
-    renderer — the PyMuPDF/GPU deployment seam.
+    renderer — the PyMuPDF/GPU deployment seam.  ``engine_cls`` swaps the
+    OCR actor class the same way (``stages.vllm_engine.make_ocr_engine()``
+    returns ``VllmOcrEngine`` on a vLLM cluster, the mock here);
+    ``engine_kwargs`` feed its constructor (e.g. ``model_path``) and
+    ``engine_resources`` its scheduling (e.g. ``{"num_gpus": 1}``).
     """
     cfg = cfg or ExtractConfig()
 
@@ -91,13 +97,15 @@ def build_extract_pipeline(ds, cfg: ExtractConfig = None, dedup: bool = True,
         make_explode_documents(renderer) if renderer is not None else explode_documents
     )
     pages = ds.map_batches(explode, batch_format="pyarrow")
+    resources = {"num_cpus": 1}
+    resources.update(engine_resources or {})
     pages = pages.map_batches(
-        MockOcrEngine,
-        fn_constructor_kwargs={"cfg": cfg},
+        engine_cls or MockOcrEngine,
+        fn_constructor_kwargs={"cfg": cfg, **(engine_kwargs or {})},
         batch_format="pyarrow",
         batch_size=cfg.ocr_batch_size,
         concurrency=(1, cfg.ocr_concurrency),
-        num_cpus=1,
+        **resources,
     )
     pages = pages.map_batches(make_postprocess_page_batch(cfg), batch_format="pyarrow")
     # merge: hash-partition page rows by url (groups co-located), then one
