@@ -105,21 +105,27 @@ def exact_dedup_shuffle(ds, text_col: str, id_col: str, num_partitions: int = 64
     Works at any corpus size; the broadcast variant (:func:`exact_dedup`) is
     faster when the keeper-id set fits driver memory.
     """
-    import pandas as pd
-
     from .partition import with_hash_partition
 
     hashed = ds.map_batches(add_sha1(text_col), batch_format="pyarrow")
     parted = with_hash_partition(hashed, "content_sha1", num_partitions)
 
-    def drop_dups(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns=["_part"])
-        return (
-            df.sort_values([id_col], kind="mergesort")
-            .drop_duplicates("content_sha1", keep="first")
-        )
+    def drop_dups(batch: pa.Table) -> pa.Table:
+        # pyarrow kernel: rows carry the full payload (text) — keep them in
+        # Arrow buffers and move winners with one ``take`` (the pandas
+        # version pivoted every payload into Python objects)
+        batch = batch.drop_columns(["_part"])
+        sha = batch["content_sha1"].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, sha))
+        s_sorted = sha[order]
+        first = np.empty(len(order), dtype=bool)
+        if len(order):
+            first[0] = True
+            first[1:] = s_sorted[1:] != s_sorted[:-1]
+        return batch.take(pa.array(np.sort(order[first]), pa.int64()))
 
-    return parted.groupby("_part").map_groups(drop_dups, batch_format="pandas")
+    return parted.groupby("_part").map_groups(drop_dups, batch_format="pyarrow")
 
 
 def exact_dedup_keepers(ds, text_col: str, id_col: str):

@@ -14,6 +14,7 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
+import pyarrow as pa
 
 
 def keep_earliest(group: pd.DataFrame) -> pd.DataFrame:
@@ -29,39 +30,52 @@ def keep_earliest(group: pd.DataFrame) -> pd.DataFrame:
     return group.iloc[[best]]
 
 
-def dedup_block(df: pd.DataFrame) -> pd.DataFrame:
+def dedup_block(batch: pa.Table) -> pa.Table:
     """Vectorized keep-earliest within one hash partition: rows of a url are
-    co-located by the partitioner, so a partition-local drop_duplicates is
-    the global answer.  The sha1 tie-break is computed ONLY for duplicated
-    urls (the rare case)."""
-    if "_part" in df.columns:
-        df = df.drop(columns=["_part"])
-    dup_mask = df["url"].duplicated(keep=False)
+    co-located by the partitioner, so a partition-local winner is the global
+    answer.  PYARROW in/out: multi-MB ``html`` payloads stay Arrow buffers —
+    the former pandas kernel pivoted every payload into a Python ``bytes``
+    object and back, a real copy tax on this (non-default) path.  The sha1
+    tie-break touches ONLY duplicated urls' payloads (the rare case); the
+    no-duplicate fast path returns the batch zero-copy."""
+    import numpy as np
+
+    if "_part" in batch.column_names:
+        batch = batch.drop_columns(["_part"])
+    urls = batch["url"].to_numpy(zero_copy_only=False)
+    _, inv, counts = np.unique(urls, return_inverse=True, return_counts=True)
+    dup_mask = counts[inv] > 1
     if not dup_mask.any():
-        return df
-    uniq = df[~dup_mask]
-    dups = df[dup_mask].copy()
-    dups["_sha"] = [hashlib.sha1(p).hexdigest() for p in dups["html"]]
-    dups = (
-        dups.sort_values(["url", "warc_ts", "_sha"], kind="mergesort")
-        .drop_duplicates("url", keep="first")
-        .drop(columns=["_sha"])
+        return batch
+    uniq = batch.filter(pa.array(~dup_mask))
+    dup_ix = np.flatnonzero(dup_mask)
+    dups = batch.take(pa.array(dup_ix, pa.int64()))
+    shas = np.asarray(
+        [hashlib.sha1(p.as_py()).hexdigest() for p in dups["html"]], dtype=object
     )
-    return pd.concat([uniq, dups], ignore_index=True)
+    d_urls = urls[dup_ix]
+    d_ts = dups["warc_ts"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((shas, d_ts, d_urls))
+    u_sorted = d_urls[order]
+    first = np.empty(len(order), dtype=bool)
+    first[0] = True
+    first[1:] = u_sorted[1:] != u_sorted[:-1]
+    winners = dups.take(pa.array(order[first], pa.int64()))
+    return pa.concat_tables([uniq, winners])
 
 
 def dedup_by_url(ds, num_partitions: int = 64):
     """``Dataset -> Dataset`` with one deterministic row per url.
 
     Hash-partition by crc32(url) % N (one all-to-all of doc rows keyed on a
-    small int — cheap to sort) then ONE vectorized drop-duplicates call per
+    small int — cheap to sort) then ONE vectorized winner pass per
     partition.  Semantically identical to ``groupby(url).map_groups(keep_
     earliest)`` but pays N Python calls instead of one per url — at 10^9
     urls the per-group calls dominate."""
     from .partition import with_hash_partition
 
     ds = with_hash_partition(ds, "url", num_partitions)
-    return ds.groupby("_part").map_groups(dedup_block, batch_format="pandas")
+    return ds.groupby("_part").map_groups(dedup_block, batch_format="pyarrow")
 
 
 def dedup_by_url_broadcast(ds, max_payload_mb: int = 200):

@@ -225,13 +225,15 @@ def group_hash_sample(
         ds.map_batches(add_rank, batch_format="pyarrow"), group_col, num_partitions
     )
 
-    def cap(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns=["_part"])
-        if not len(df):
-            return df.drop(columns=["_rk"])
-        grp = df[group_col].to_numpy()
-        ids = df[id_col].to_numpy()
-        rk = df["_rk"].to_numpy()
+    def cap(batch: pa.Table) -> pa.Table:
+        # pyarrow kernel: all input columns pass through (payload-safe) —
+        # winners move via one Arrow ``take``
+        batch = batch.drop_columns(["_part"])
+        if not batch.num_rows:
+            return batch.drop_columns(["_rk"])
+        grp = batch[group_col].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        rk = batch["_rk"].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, rk, grp))
         g_s = grp[order]
         new_group = np.empty(len(g_s), dtype=bool)
@@ -242,6 +244,8 @@ def group_hash_sample(
         )
         rank = np.arange(len(g_s)) - group_start
         keep_sorted = order[rank < k]
-        return df.iloc[np.sort(keep_sorted)].drop(columns=["_rk"])
+        return batch.take(
+            pa.array(np.sort(keep_sorted), pa.int64())
+        ).drop_columns(["_rk"])
 
-    return parts.groupby("_part").map_groups(cap, batch_format="pandas")
+    return parts.groupby("_part").map_groups(cap, batch_format="pyarrow")

@@ -116,12 +116,15 @@ def domain_quota(ds, domain_col: str, id_col: str, k: int, num_partitions: int =
         raise ValueError(f"k must be >= 1, got {k}")
     parts = with_hash_partition(ds, domain_col, num_partitions)
 
-    def cap(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns=["_part"])
-        if not len(df):
-            return df
-        dom = df[domain_col].to_numpy()
-        ids = df[id_col].to_numpy()
+    def cap(batch: pa.Table) -> pa.Table:
+        # pyarrow kernel: every input column passes through (a crawl table
+        # may carry the html payload), so winners move via one Arrow
+        # ``take`` instead of a pandas object pivot
+        batch = batch.drop_columns(["_part"])
+        if not batch.num_rows:
+            return batch
+        dom = batch[domain_col].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, dom))
         dom_s = dom[order]
         new_group = np.empty(len(dom_s), dtype=bool)
@@ -132,6 +135,6 @@ def domain_quota(ds, domain_col: str, id_col: str, k: int, num_partitions: int =
         )
         rank = np.arange(len(dom_s)) - group_start
         keep_sorted = order[rank < k]
-        return df.iloc[np.sort(keep_sorted)]
+        return batch.take(pa.array(np.sort(keep_sorted), pa.int64()))
 
-    return parts.groupby("_part").map_groups(cap, batch_format="pandas")
+    return parts.groupby("_part").map_groups(cap, batch_format="pyarrow")
