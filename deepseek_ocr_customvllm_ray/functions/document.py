@@ -24,13 +24,13 @@ divergence documented in SURVEY §7.4):
 
 from __future__ import annotations
 
-import json
 from typing import Any, Dict, List, Optional
 
 from ..config import EOS_TOKEN, PAGE_SPLIT_MARKER, ExtractConfig
 from . import mdtext, tiling
 from .blocks import process_ocr_to_blocks
 from .fakemedia import fake_crop_jpeg
+from .fastjson import dumps_indent2
 from .html_extract import extract_markdown_and_text
 from .ngram import suppress_repeats_text
 
@@ -39,8 +39,13 @@ def document_envelope(url: str, warc_ts_iso: str, content_pages: list) -> str:
     """THE doc_json serialization (ocr_service.py:161-174 shape with the
     exact ``json.dumps(ensure_ascii=False, indent=2)`` arguments).  Single
     definition — golden, merge, and the distributed html path all call this,
-    so the byte-identity surface cannot drift between copies."""
-    return json.dumps(
+    so the byte-identity surface cannot drift between copies.
+
+    Serialized by ``fastjson.dumps_indent2`` — byte-identical to the dumps
+    call above by differential test (CPython's C encoder is disabled when
+    ``indent`` is set; the stdlib pure-Python walk measured ~24% of the
+    flagship extraction wall)."""
+    return dumps_indent2(
         {
             "document": {
                 "metadata": {
@@ -50,9 +55,7 @@ def document_envelope(url: str, warc_ts_iso: str, content_pages: list) -> str:
                 },
                 "content": content_pages,
             }
-        },
-        ensure_ascii=False,
-        indent=2,
+        }
     )
 
 

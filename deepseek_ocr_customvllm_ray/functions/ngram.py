@@ -19,41 +19,61 @@ from __future__ import annotations
 from typing import Iterable, List, Sequence, Set
 
 
-def _has_potential_repeat(tokens: Sequence[str], ngram_size: int, window_size: int) -> bool:
-    """Vectorized pre-check: could ANY step of the sequential suppressor
-    ban a token?  Works on the ORIGINAL stream — before the first ban the
-    emitted stream equals the input, so the first possible ban appears in
-    the input too; hence ``False`` proves the suppressor is the identity.
+def _has_potential_repeat(
+    tokens: Sequence[str],
+    ngram_size: int,
+    window_size: int,
+    whitelist: Set[str] = frozenset(),
+) -> bool:
+    """Vectorized pre-check: would the sequential suppressor ban anything?
+    Works on the ORIGINAL stream — before the first ban the emitted stream
+    equals the input, so the first ban (if any) is decided by the input
+    alone; hence ``False`` proves the suppressor is the identity.
 
-    Detection is conservative (whitelist ignored, window slack added, and
-    64-bit rolling-hash equality instead of token equality — a true repeat
-    always hashes equal, a collision merely sends one doc down the exact
-    sequential path).  Cost: one ``np.unique`` + one (T, n-1) uint64 matmul
-    + one argsort — numpy-speed O(T log T) vs the Python per-token loop,
-    which measured ~2/3 of the whole flagship extraction wall.
+    EXACT (round 4): a ban at step t requires two equal FULL n-grams at
+    starts ``i < j = t-n+1`` with ``j - i <= window_size - ngram_size + 1``
+    and a non-whitelisted completion, so the detector hashes n-grams,
+    sorts, and exact-verifies the few adjacent equal-hash pairs inside the
+    gap bound in Python (equal-gram runs share one completion token, so
+    per-run whitelist filtering is sound; a hash collision conservatively
+    over-flags).  Round 3's conservative version (prefix hashes + window
+    slack, no whitelist) sent ~2.6% of bench pages down a ~4 ms exact walk
+    that then changed nothing; this version flags exactly the pages the
+    walk will edit.  Cost: one hash pass + one (T, n) uint64 matmul + one
+    argsort — numpy-speed O(T log T) vs the Python per-token loop.
     """
     import numpy as np
 
-    P = ngram_size - 1
+    n = ngram_size
     T = len(tokens)
-    if P < 1 or T < ngram_size:
-        return T >= ngram_size  # ngram_size == 1 has its own loop: no claim
+    if n < 2 or T < n:
+        return T >= n  # ngram_size == 1 has its own loop: no claim
+    max_gap = window_size - n + 1
+    if max_gap < 1:
+        return False  # window too small for any prefix to recur: identity
     # token ids via C-level hash(): equal tokens always hash equal (the
-    # property the detector needs); a 64-bit collision merely over-flags.
-    # np.unique on an object array measured ~10x slower (string sorting);
-    # list(map(...)) beats an np.fromiter generator by ~3x (no per-item
-    # generator resume).
+    # property the detector needs).  np.unique on an object array measured
+    # ~10x slower (string sorting); list(map(...)) beats an np.fromiter
+    # generator by ~3x (no per-item generator resume).
     ids = np.array(list(map(hash, tokens)), dtype=np.int64).view(np.uint64)
-    powers = np.uint64(1099511628211) ** np.arange(P - 1, -1, -1, dtype=np.uint64)
-    grams = np.lib.stride_tricks.sliding_window_view(ids, P)
-    H = grams @ powers  # uint64 wraparound poly hash per (n-1)-gram
+    powers = np.uint64(1099511628211) ** np.arange(n - 1, -1, -1, dtype=np.uint64)
+    grams = np.lib.stride_tricks.sliding_window_view(ids, n)
+    H = grams @ powers  # uint64 wraparound poly hash per n-gram
     order = np.argsort(H, kind="stable")  # stable: equal hashes in pos order
     hs = H[order]
     same = hs[1:] == hs[:-1]
     if not same.any():
         return False
     gap = order[1:] - order[:-1]
-    return bool((same & (gap <= window_size + ngram_size)).any())
+    cand = np.flatnonzero(same & (gap <= max_gap))
+    # exact verify of the (few) candidates: true gram equality + whitelist
+    for c in cand:
+        i, j = int(order[c]), int(order[c + 1])
+        if tokens[i:i + n] != tokens[j:j + n]:
+            return True  # hash collision: defer to the exact walk
+        if tokens[j + n - 1] not in whitelist:
+            return True
+    return False
 
 
 def suppress_repeats(
@@ -75,7 +95,9 @@ def suppress_repeats(
     if not isinstance(window_size, int) or window_size <= 0:
         raise ValueError(f"`window_size` has to be a strictly positive integer, but is {window_size}")
     wl: Set[str] = set(whitelist or ())
-    if ngram_size > 1 and not _has_potential_repeat(tokens, ngram_size, window_size):
+    if ngram_size > 1 and not _has_potential_repeat(
+        tokens, ngram_size, window_size, wl
+    ):
         return list(tokens)  # proven identity: skip the sequential walk
     out: List[str] = []
     if ngram_size == 1:
