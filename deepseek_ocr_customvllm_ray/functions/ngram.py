@@ -19,6 +19,21 @@ from __future__ import annotations
 from typing import Iterable, List, Sequence, Set
 
 
+_POWERS_CACHE: dict = {}
+
+
+def _powers_of(n: int):
+    """Cached descending powers of the poly-hash base (pure function of n,
+    recomputed per page uncached)."""
+    p = _POWERS_CACHE.get(n)
+    if p is None:
+        import numpy as np
+
+        p = np.uint64(1099511628211) ** np.arange(n - 1, -1, -1, dtype=np.uint64)
+        _POWERS_CACHE[n] = p
+    return p
+
+
 def _has_potential_repeat(
     tokens: Sequence[str],
     ngram_size: int,
@@ -56,7 +71,7 @@ def _has_potential_repeat(
     # ~10x slower (string sorting); list(map(...)) beats an np.fromiter
     # generator by ~3x (no per-item generator resume).
     ids = np.array(list(map(hash, tokens)), dtype=np.int64).view(np.uint64)
-    powers = np.uint64(1099511628211) ** np.arange(n - 1, -1, -1, dtype=np.uint64)
+    powers = _powers_of(n)
     grams = np.lib.stride_tricks.sliding_window_view(ids, n)
     H = grams @ powers  # uint64 wraparound poly hash per n-gram
     order = np.argsort(H, kind="stable")  # stable: equal hashes in pos order
@@ -187,7 +202,7 @@ def suppress_repeats_text(
     for i, line in enumerate(text.split("\n")):
         if i:
             toks.append("\n")
-        toks.extend(t for t in line.split(" ") if t != "")
+        toks.extend([t for t in line.split(" ") if t != ""])
     kept = suppress_repeats(toks, ngram_size, window_size, whitelist)
     if len(kept) == len(toks):
         return text  # nothing banned -> byte-identical passthrough

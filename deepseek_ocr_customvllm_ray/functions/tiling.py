@@ -33,7 +33,13 @@ DOWNSAMPLE = 4
 PROMPT = "<image>\n<|grounding|>Convert the document to markdown."
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
 def candidate_ratios(min_num: int = MIN_CROPS, max_num: int = MAX_CROPS) -> List[Tuple[int, int]]:
+    # pure function of two small ints, called once per page: cached
+    # (uncached it was ~250k generator resumes per 1500 bench docs)
     ratios = set(
         (i, j)
         for n in range(min_num, max_num + 1)
