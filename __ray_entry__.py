@@ -125,6 +125,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # link graph (per-page out-links; host-level in-link rollup)
         "page_links": q.q_page_links,
         "host_link_summary": q.q_host_link_summary,
+        # K6 layout-PDF artifact + M20 pixel-augmentation family (round 4)
+        "layout_pdf": q.q_layout_pdf,
+        "augment_fingerprints": q.q_augment_fingerprints,
     }
 
 
@@ -786,6 +789,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT dst_host, COUNT(*) AS n_links, "
             "COUNT(DISTINCT src_host) AS n_src_hosts "
             "FROM links GROUP BY dst_host"
+        ),
+        "layout_pdf": (
+            "SELECT * FROM read_parquet('/root/repo/golden/layout_pdf.parquet')"
+        ),
+        "augment_fingerprints": (
+            "SELECT * FROM read_parquet('/root/repo/golden/augment_fingerprints.parquet')"
         ),
     }
 

@@ -176,6 +176,8 @@ def run_bench() -> dict:
     timed("clean_corpus", q.q_clean_corpus)
     timed("page_links", q.q_page_links)
     timed("host_link_summary", q.q_host_link_summary)
+    timed("layout_pdf", q.q_layout_pdf)
+    timed("augment_fingerprints", q.q_augment_fingerprints)
 
     out = {
         "metric": "extract_e2e_sec",

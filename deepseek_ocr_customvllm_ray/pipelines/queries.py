@@ -1546,3 +1546,96 @@ def q_host_link_summary(sf_dir: str):
     from ..stages.links import host_edges, host_in_links, page_out_links
 
     return host_in_links(host_edges(page_out_links(_synth_linked_pages(sf_dir))))
+
+
+def q_layout_pdf(sf_dir: str):
+    """K6 layout-PDF composition: every doc becomes a one-page synthetic
+    pdf whose emission carries one deterministic figure box, the extract
+    pipeline crops the figure (K4 ``figures`` column), and the layout
+    writer recomposes each doc's crops into a ``layout_pdf`` binary
+    artifact (app/utils/utils.py:104-126 analog — artifact-as-data, no
+    side files).  Returns per-url figure count + PDF sha/size; snapshot
+    oracle (the PDF bytes are a pure function of the input)."""
+    import hashlib
+
+    from ..functions.layoutpdf import make_layout_pdf_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def with_figure(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        tagged = []
+        for d, t in zip(ids, texts):
+            x1 = 50 + (int(d) * 37) % 400
+            y1 = 80 + (int(d) * 59) % 300
+            tag = (
+                f"<|ref|>image<|/ref|><|det|>"
+                f"[[{x1},{y1},{x1 + 300},{y1 + 200}]]<|/det|>"
+            )
+            tagged.append((t or "") + "\n" + tag)
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text",
+            pa.array(tagged, pa.string()),
+        )
+
+    pages = ds.map_batches(with_figure, batch_format="pyarrow").map_batches(
+        docs_as_pdf_pages, batch_format="pyarrow"
+    )
+    cfg = ExtractConfig(
+        ngram_suppress=False, ocr_concurrency=2, page_dedup_strategy="shuffle"
+    )
+    out = build_extract_pipeline(pages, cfg).map_batches(
+        make_layout_pdf_batch(), batch_format="pyarrow"
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        pdfs = batch["layout_pdf"].to_pylist()
+        return pa.table({
+            "url": batch["url"],
+            "n_figures": pc.list_value_length(batch["figures"]).cast(pa.int64()),
+            "pdf_sha1": pa.array(
+                [hashlib.sha1(p or b"").hexdigest() for p in pdfs], pa.string()
+            ),
+            "pdf_bytes": pa.array([len(p or b"") for p in pdfs], pa.int64()),
+        })
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
+def q_augment_fingerprints(sf_dir: str):
+    """M20 pixel-augmentation family over deterministic per-doc page
+    arrays: every (family, severity) from the reference's eval corpus
+    (skew +-2/-3.5 deg, perspective 0.05/0.08, blur k=13/21, shadow
+    0.30/0.45) applied to a blake2b-seeded synthetic page, output pinned
+    by sha1 — the robustness-corpus generator as a gate query (map-only,
+    pure function of doc_id)."""
+    import hashlib
+
+    from ..functions.augment import AUGMENT_FAMILIES, augment_page_array
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rows = {"doc_id": [], "family": [], "severity": [], "sha1": []}
+        for d in batch["doc_id"].to_pylist():
+            seed_bytes = hashlib.blake2b(
+                str(d).encode("utf-8"), digest_size=16
+            ).digest()
+            rng = np.random.default_rng(int.from_bytes(seed_bytes[:8], "little"))
+            arr = rng.integers(0, 256, size=(24, 32, 3)).astype(np.uint8)
+            for fam in sorted(AUGMENT_FAMILIES):
+                for sev in range(len(AUGMENT_FAMILIES[fam])):
+                    out = augment_page_array(arr, fam, severity=sev, seed=int(d) % 1000)
+                    rows["doc_id"].append(int(d))
+                    rows["family"].append(fam)
+                    rows["severity"].append(sev)
+                    rows["sha1"].append(hashlib.sha1(out.tobytes()).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "family": pa.array(rows["family"], pa.string()),
+            "severity": pa.array(rows["severity"], pa.int64()),
+            "sha1": pa.array(rows["sha1"], pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

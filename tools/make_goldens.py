@@ -48,6 +48,8 @@ GOLDEN_QUERIES = [
     "snapshot_near_dedup",
     "kmeans_clusters",
     "semantic_dedup",
+    "layout_pdf",
+    "augment_fingerprints",
 ]
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "golden")
