@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # K6 layout-PDF artifact + M20 pixel-augmentation family (round 4)
         "layout_pdf": q.q_layout_pdf,
         "augment_fingerprints": q.q_augment_fingerprints,
+        # DSIR hashed-n-gram importance resampling (Xie et al. 2023)
+        "dsir_select": q.q_dsir_select,
     }
 
 
@@ -795,6 +797,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "augment_fingerprints": (
             "SELECT * FROM read_parquet('/root/repo/golden/augment_fingerprints.parquet')"
+        ),
+        "dsir_select": (
+            "SELECT * FROM read_parquet('/root/repo/golden/dsir_select.parquet')"
         ),
     }
 

@@ -1639,3 +1639,24 @@ def q_augment_fingerprints(sf_dir: str):
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_dsir_select(sf_dir: str):
+    """DSIR importance resampling (Xie et al. 2023): select the 50 corpus
+    docs whose hashed unigram+bigram distribution best matches the French
+    subcorpus (target = lang='fr' rows), by weight + seeded Gumbel.
+    Map-only feature passes, bucket-bounded distribution groupbys, one
+    broadcast log-ratio vector, distributed top-k; pure function of
+    (corpus, seed) — snapshot oracle."""
+    from ..stages.dsir import dsir_select
+
+    raw = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fr_only(batch: pa.Table) -> pa.Table:
+        keep = pc.fill_null(pc.equal(batch["lang"], "fr"), False)
+        return batch.filter(keep).select(["doc_id", "text"])
+
+    target = _read(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+        fr_only, batch_format="pyarrow"
+    )
+    return dsir_select(raw, target, "text", "doc_id", k=50, seed=0)

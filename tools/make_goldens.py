@@ -50,6 +50,7 @@ GOLDEN_QUERIES = [
     "semantic_dedup",
     "layout_pdf",
     "augment_fingerprints",
+    "dsir_select",
 ]
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "golden")
