@@ -63,6 +63,21 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
+    # Ray's sort-based shuffle emits schema-less EMPTY RefBundles whenever a
+    # sampled boundary range lands between sparse key partitions, and the
+    # executor logs a schema-divergence warning per occurrence.  The
+    # bounded aggregates in this repo coalesce to non-empty blocks (see
+    # links/lineage `agg_blocks`); the one remaining emitter is the
+    # input-sized winners meta groupby, where an extra thin exchange just
+    # to silence a cosmetic log would cost real shuffle volume at scale —
+    # so the log is silenced here instead (warning is about empty blocks
+    # only; value correctness is oracle-gated).
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).setLevel(logging.ERROR)
+
     from deepseek_ocr_customvllm_ray.pipelines import queries as q
 
     # warm the OS page cache (untimed) so we measure compute+shuffle
