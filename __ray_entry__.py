@@ -130,6 +130,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "augment_fingerprints": q.q_augment_fingerprints,
         # DSIR hashed-n-gram importance resampling (Xie et al. 2023)
         "dsir_select": q.q_dsir_select,
+        # deterministic train/val/test assignment; one-row corpus summary
+        "split_assign": q.q_split_assign,
+        "corpus_report": q.q_corpus_report,
     }
 
 
@@ -800,6 +803,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dsir_select": (
             "SELECT * FROM read_parquet('/root/repo/golden/dsir_select.parquet')"
+        ),
+        "split_assign": (
+            # identical md5 digests + cumulative 90/5/5 hex boundaries
+            # (floor(0.9*16^8)='e6666666', floor((0.9+0.05)*16^8)='f3333333')
+            "SELECT doc_id, lang, CASE "
+            "WHEN substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train' "
+            "WHEN substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val' "
+            "ELSE 'test' END AS split FROM documents"
+        ),
+        "corpus_report": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+            "CAST(sum(CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) = '' THEN 0 ELSE length(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')) END) AS BIGINT) AS total_tokens, "
+            "CAST(max(n_chars) AS BIGINT) AS max_chars, "
+            "CAST(count(DISTINCT source) AS BIGINT) AS n_sources, "
+            "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM documents"
         ),
     }
 

@@ -211,6 +211,8 @@ def run_bench() -> dict:
     timed("layout_pdf", q.q_layout_pdf)
     timed("augment_fingerprints", q.q_augment_fingerprints)
     timed("dsir_select", q.q_dsir_select)
+    timed("split_assign", q.q_split_assign)
+    timed("corpus_report", q.q_corpus_report)
 
     out = {
         "metric": "extract_e2e_sec",

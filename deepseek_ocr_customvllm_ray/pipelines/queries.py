@@ -1660,3 +1660,54 @@ def q_dsir_select(sf_dir: str):
         fr_only, batch_format="pyarrow"
     )
     return dsir_select(raw, target, "text", "doc_id", k=50, seed=0)
+
+
+def q_split_assign(sf_dir: str):
+    """Deterministic train/val/test assignment (90/5/5): the id digest's
+    position among cumulative weight boundaries — stable across runs,
+    cluster shapes, and corpus growth (an id keeps its split forever).
+    Map-only; DuckDB re-derives the identical md5 boundaries."""
+    from ..stages import sampling
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return sampling.split_assign(
+        ds, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+
+
+def q_corpus_report(sf_dir: str):
+    """One-row corpus summary (the dataset-card numbers): doc/char/token
+    totals, max doc length, distinct sources/langs.  Per-batch partials
+    (one row + two small distinct-value lists per batch) fold on the
+    driver — nothing corpus-sized moves."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = analysis.whitespace_token_counts(batch["text"])
+        return pa.table({
+            "n_docs_p": pa.array([batch.num_rows], pa.int64()),
+            "chars_p": pa.array([pc.sum(batch["n_chars"]).as_py() or 0], pa.int64()),
+            "tokens_p": pa.array([pc.sum(toks).as_py() or 0], pa.int64()),
+            "max_chars_p": pa.array([pc.max(batch["n_chars"]).as_py() or 0], pa.int64()),
+            "sources_p": pa.array([sorted(set(batch["source"].to_pylist()))],
+                                  pa.list_(pa.string())),
+            "langs_p": pa.array([sorted(set(batch["lang"].to_pylist()))],
+                                pa.list_(pa.string())),
+        })
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    sources: set = set()
+    langs: set = set()
+    for r in rows:
+        sources.update(r["sources_p"])
+        langs.update(r["langs_p"])
+    return pd.DataFrame({
+        "n_docs": pd.array([sum(r["n_docs_p"] for r in rows)], dtype="int64"),
+        "total_chars": pd.array([sum(r["chars_p"] for r in rows)], dtype="int64"),
+        "total_tokens": pd.array([sum(r["tokens_p"] for r in rows)], dtype="int64"),
+        "max_chars": pd.array([max(r["max_chars_p"] for r in rows)], dtype="int64"),
+        "n_sources": pd.array([len(sources)], dtype="int64"),
+        "n_langs": pd.array([len(langs)], dtype="int64"),
+    })

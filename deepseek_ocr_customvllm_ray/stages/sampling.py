@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -249,3 +250,46 @@ def group_hash_sample(
         ).drop_columns(["_rk"])
 
     return parts.groupby("_part").map_groups(cap, batch_format="pyarrow")
+
+
+def make_split_assign_batch(id_col: str, splits: dict, seed: int = 42):
+    """Deterministic named-split assignment (train/val/test):
+    the id digest's position among cumulative weight boundaries picks the
+    split — a pure function of (seed, id), so the assignment is stable
+    across runs, cluster shapes, and later corpus additions (an id keeps
+    its split forever; the standard training-data split contract).
+
+    ``splits``: ordered {name: weight}, weights sum to 1.  All input
+    columns pass through plus a ``split`` string column.  Map-only.
+    """
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    if any(w < 0 for w in splits.values()):
+        raise ValueError("split weights must be non-negative")
+    names = list(splits)
+    cum = 0.0
+    bounds = []
+    for name in names[:-1]:
+        cum += splits[name]
+        bounds.append(_threshold_hex(min(cum, 1.0)))
+    bounds_np = np.array(bounds, dtype=object)
+    names_np = np.array(names, dtype=object)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        digs = np.asarray(
+            _digests(batch[id_col].to_pylist(), seed).to_pylist(), dtype=object
+        )
+        idx = np.searchsorted(bounds_np, digs, side="right")
+        return batch.append_column(
+            "split", pa.array(names_np[idx], pa.string())
+        )
+
+    return fn
+
+
+def split_assign(ds, id_col: str, splits: dict, seed: int = 42):
+    """``Dataset -> Dataset`` with a deterministic ``split`` column."""
+    return ds.map_batches(
+        make_split_assign_batch(id_col, splits, seed), batch_format="pyarrow"
+    )

@@ -133,3 +133,50 @@ def test_dataset_paths_match_batch_paths(ray_session):
         ].to_pylist()
     )
     assert got_s == want_s
+
+
+class TestSplitAssign:
+    def test_distribution_and_determinism(self, ray_session):
+        import collections
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from deepseek_ocr_customvllm_ray.stages.sampling import split_assign
+
+        t = pa.table({"doc_id": pa.array(range(10000), pa.int64())})
+        out = split_assign(
+            rd.from_arrow(t), "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+        ).to_pandas()
+        c = collections.Counter(out["split"])
+        assert 8700 <= c["train"] <= 9300
+        assert 350 <= c["val"] <= 650 and 350 <= c["test"] <= 650
+        # stable across block structures
+        out2 = split_assign(
+            rd.from_arrow(t).repartition(9), "doc_id",
+            {"train": 0.9, "val": 0.05, "test": 0.05},
+        ).to_pandas().sort_values("doc_id")
+        assert out.sort_values("doc_id")["split"].tolist() == out2["split"].tolist()
+
+    def test_weights_validated(self):
+        import pytest as _pytest
+
+        from deepseek_ocr_customvllm_ray.stages.sampling import (
+            make_split_assign_batch,
+        )
+
+        with _pytest.raises(ValueError):
+            make_split_assign_batch("doc_id", {"a": 0.5, "b": 0.6})
+        with _pytest.raises(ValueError):
+            make_split_assign_batch("doc_id", {"a": 1.5, "b": -0.5})
+
+    def test_single_split_takes_all(self):
+        import pyarrow as pa
+
+        from deepseek_ocr_customvllm_ray.stages.sampling import (
+            make_split_assign_batch,
+        )
+
+        t = pa.table({"doc_id": pa.array(range(50), pa.int64())})
+        out = make_split_assign_batch("doc_id", {"all": 1.0})(t)
+        assert set(out["split"].to_pylist()) == {"all"}
