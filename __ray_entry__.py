@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic train/val/test assignment; one-row corpus summary
         "split_assign": q.q_split_assign,
         "corpus_report": q.q_corpus_report,
+        # semantic (embedding-cosine) benchmark decontamination
+        "embedding_decontam": q.q_embedding_decontam,
     }
 
 
@@ -811,6 +813,15 @@ def oracle_sql() -> dict[str, str]:
             "WHEN substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train' "
             "WHEN substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val' "
             "ELSE 'test' END AS split FROM documents"
+        ),
+        "embedding_decontam": (
+            # DuckDB recomputes every cosine independently; 0.35 is a
+            # non-special threshold (no corpus pair sits near it — see the
+            # margin check in tests)
+            "SELECT e.vec_id, CAST(count_if(list_cosine_similarity(e.embedding, b.embedding) >= 0.35) AS BIGINT) AS n_hits, "
+            "count_if(list_cosine_similarity(e.embedding, b.embedding) >= 0.35) > 0 AS contaminated "
+            "FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 32) b "
+            "GROUP BY e.vec_id"
         ),
         "corpus_report": (
             "SELECT CAST(count(*) AS BIGINT) AS n_docs, "

@@ -213,6 +213,7 @@ def run_bench() -> dict:
     timed("dsir_select", q.q_dsir_select)
     timed("split_assign", q.q_split_assign)
     timed("corpus_report", q.q_corpus_report)
+    timed("embedding_decontam", q.q_embedding_decontam)
 
     out = {
         "metric": "extract_e2e_sec",

@@ -1711,3 +1711,25 @@ def q_corpus_report(sf_dir: str):
         "n_sources": pd.array([len(sources)], dtype="int64"),
         "n_langs": pd.array([len(langs)], dtype="int64"),
     })
+
+
+def q_embedding_decontam(sf_dir: str):
+    """Semantic decontamination: corpus vectors flagged when cosine-close
+    (>= 0.35) to any of the 32 lowest-id "benchmark" vectors — the
+    paraphrase-robust sibling of phrase/shingle decontamination.  One
+    broadcast benchmark matrix, one unit-vector matmul per batch,
+    map-only."""
+    import pyarrow.dataset as pads
+
+    from ..stages.decontam import embedding_decontam
+
+    bench = pads.dataset(
+        os.path.join(sf_dir, "embeddings.parquet"), format="parquet"
+    ).to_table(columns=["vec_id", "embedding"], filter=pads.field("vec_id") < 32)
+    order = np.argsort(bench["vec_id"].to_numpy())
+    bench_vecs = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in bench["embedding"].to_pylist()]
+    )[order]
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_decontam(ds, bench_vecs, "embedding", "vec_id")

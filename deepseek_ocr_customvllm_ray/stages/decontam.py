@@ -127,3 +127,45 @@ def flag_contaminated_by_index(ds, text_col: str, id_col: str,
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def embedding_decontam(
+    corpus_ds,
+    bench_vecs: "np.ndarray",
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.35,
+):
+    """SEMANTIC decontamination: flag corpus rows whose embedding is
+    cosine-similar (>= ``threshold``) to ANY benchmark embedding — catches
+    paraphrased benchmark leakage that phrase/shingle matching misses.
+
+    Same broadcast shape as the phrase path: the benchmark matrix ships
+    via ``ray.put`` once (a 10^5-question benchmark at d=768 float64 is
+    ~600 MB — within object-store broadcast range; chunk the matmul by
+    benchmark rows above that), and each corpus batch computes one
+    ``(n, d) @ (d, m)`` unit-vector matmul — map-only, the corpus never
+    shuffles.  Returns (id, n_hits, contaminated).
+    """
+    import ray
+
+    from ..functions.vectors import to_matrix
+
+    q = np.asarray(bench_vecs, dtype=np.float64)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    q_ref = ray.put(qn)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        vecs = to_matrix(batch[vec_col], dim=qm.shape[1])
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (vecs / norms) @ qm.T
+        hits = (sims >= threshold).sum(axis=1).astype(np.int64)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_hits": pa.array(hits, pa.int64()),
+            "contaminated": pa.array(hits > 0),
+        })
+
+    return corpus_ds.map_batches(fn, batch_format="pyarrow")

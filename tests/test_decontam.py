@@ -126,3 +126,65 @@ def test_flag_contaminated_by_index(ray_session):
     )
     assert out["contaminated"].tolist() == [True, True, False, False]
     assert out["n_shingle_hits"].tolist() == [1, 2, 0, 0]
+
+
+class TestEmbeddingDecontam:
+    def test_hits_and_threshold_margin(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from deepseek_ocr_customvllm_ray.stages.decontam import embedding_decontam
+
+        bench = np.array([[1.0, 0.0], [0.0, 1.0]])
+        vecs = [
+            [1.0, 0.0],    # identical to bench 0 -> 1 hit (cos 1, bench1 cos 0)
+            [1.0, 1.0],    # cos ~0.707 to both -> 2 hits
+            [-1.0, -1.0],  # negative to both -> 0 hits
+        ]
+        t = pa.table({
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float64())),
+        })
+        out = embedding_decontam(
+            rd.from_arrow(t), bench, "embedding", "vec_id", threshold=0.5
+        ).to_pandas().sort_values("vec_id")
+        assert out["n_hits"].tolist() == [1, 2, 0]
+        assert out["contaminated"].tolist() == [True, True, False]
+
+    def test_zero_vector_never_contaminated(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from deepseek_ocr_customvllm_ray.stages.decontam import embedding_decontam
+
+        t = pa.table({
+            "vec_id": pa.array([7], pa.int64()),
+            "embedding": pa.array([[0.0, 0.0]], pa.list_(pa.float64())),
+        })
+        out = embedding_decontam(
+            rd.from_arrow(t), np.array([[1.0, 0.0]]), "embedding", "vec_id"
+        ).to_pandas()
+        assert out["n_hits"].tolist() == [0]
+
+    def test_threshold_margin_on_driver_corpus(self):
+        """Pin that the oracle threshold 0.35 is far from every actual
+        cosine at sf0.01 (the SQL oracle recomputes cosines with a
+        different summation order; a pair near the threshold could flip)."""
+        import os
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        p = "/root/testdata/sf0.01/embeddings.parquet"
+        if not os.path.exists(p):
+            import pytest as _pytest
+
+            _pytest.skip("driver testdata absent")
+        t = pq.read_table(p, columns=["vec_id", "embedding"])
+        V = np.stack([np.asarray(v, np.float64) for v in t["embedding"].to_pylist()])
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        bench = Vn[np.argsort(t["vec_id"].to_numpy())[:32]]
+        margin = np.abs(Vn @ bench.T - 0.35).min()
+        assert margin > 1e-6, margin
