@@ -100,12 +100,15 @@ _FP_SEED = np.uint64(14695981039346656037)
 def doc_fingerprint(text: str) -> int:
     """64-bit rolling/accumulating document fingerprint over word hashes
     (order-sensitive, whitespace-normalized) — cheap content identity for
-    lineage manifests.  Returns a non-negative int64-safe value."""
-    h = _FP_SEED
+    lineage manifests.  Returns a non-negative int64-safe value.
+
+    Plain-int arithmetic (identical values to the former numpy-scalar
+    version — both are mod 2^64 — without its per-step overflow warning)."""
+    h = int(_FP_SEED)
+    base = int(_FP_BASE)
     for w in text.split():
-        wh = np.uint64(zlib.crc32(w.encode("utf-8")))
-        h = (h * _FP_BASE + wh) & np.uint64(0xFFFFFFFFFFFFFFFF)
-    return int(h >> np.uint64(1))  # fit in signed int64
+        h = (h * base + zlib.crc32(w.encode("utf-8"))) & 0xFFFFFFFFFFFFFFFF
+    return h >> 1  # fit in signed int64
 
 
 def text_sha1_hex(texts: List[str]) -> List[str]:

@@ -52,8 +52,53 @@ _PY_WS_CHARS = (
     + "\u2028\u2029\u202f\u205f\u3000"
 )
 _PY_WS_CLASS = "[" + "".join(f"\\x{{{ord(c):X}}}" for c in _PY_WS_CHARS) + "]"
-# Python re's unicode \w is [\p{L}\p{N}_]; punctuation = neither word nor space
-_PY_PUNCT_CLASS = "[^\\p{L}\\p{N}_" + _PY_WS_CLASS[1:]
+
+
+def _ranges_class(predicate) -> str:
+    """Explicit RE2 range class of every codepoint satisfying
+    ``predicate`` — the only way to get EXACT parity with this Python's
+    unicodedata tables (RE2 ships its own, often newer, Unicode version:
+    `'\\U00031350'` is a letter to RE2 but unassigned to Python 3.11's
+    ``re``, found by the hypothesis parity fuzz).  One full sweep per
+    process (~80 ms), cached by callers."""
+    cps = [c for c in range(0x110000) if predicate(chr(c))]
+    ranges = []
+    start = prev = cps[0]
+    for c in cps[1:]:
+        if c == prev + 1:
+            prev = c
+            continue
+        ranges.append((start, prev))
+        start = prev = c
+    ranges.append((start, prev))
+    body = "".join(
+        f"\\x{{{a:X}}}" if a == b else f"\\x{{{a:X}}}-\\x{{{b:X}}}"
+        for a, b in ranges
+    )
+    return "[" + body + "]"
+
+
+_CLASS_CACHE: dict = {}
+
+
+def _py_digit_class() -> str:
+    """RE2 class equal to ``str.isdigit()`` (Nd plus Numeric_Type=Digit —
+    ``'²'.isdigit()`` is True but ``\\p{Nd}`` misses it)."""
+    if "digit" not in _CLASS_CACHE:
+        _CLASS_CACHE["digit"] = _ranges_class(str.isdigit)
+    return _CLASS_CACHE["digit"]
+
+
+def _py_punct_class() -> str:
+    """RE2 class equal to Python re's ``[^\\w\\s]``: neither a word char
+    (``isalnum() or '_'`` — verified identical to ``re.compile(r'\\w')``
+    over all of Unicode in tests) nor an ``isspace()`` char, per THIS
+    interpreter's tables."""
+    if "punct" not in _CLASS_CACHE:
+        _CLASS_CACHE["punct"] = _ranges_class(
+            lambda ch: not (ch.isalnum() or ch == "_" or ch.isspace())
+        )
+    return _CLASS_CACHE["punct"]
 
 
 def _py_split_words(texts):
@@ -116,10 +161,10 @@ def make_quality_batch(text_col: str, id_col: str):
         stop_sums = _segment_sums(stop_hits, m)
 
         n_punct = pc.count_substring_regex(
-            texts, pattern=_PY_PUNCT_CLASS
+            texts, pattern=_py_punct_class()
         ).cast(pa.int64()).to_numpy(zero_copy_only=False)
         n_digit = pc.count_substring_regex(
-            texts, pattern=r"\p{Nd}"
+            texts, pattern=_py_digit_class()
         ).cast(pa.int64()).to_numpy(zero_copy_only=False)
 
         has = m > 0

@@ -266,3 +266,19 @@ def test_utf8proc_whitespace_kernels_match_python_split():
     assert got == want
     trimmed = pc.utf8_trim_whitespace(pa.array([f"{c}x{c}" for c in probes]))
     assert trimmed.to_pylist() == [f"{c}x{c}".strip() for c in probes]
+
+
+def test_py_word_class_equivalence_sweep():
+    """The punct class builds on `isalnum() or '_'` as the word-char
+    predicate; pin its equivalence to Python re's \\w over all of Unicode
+    (the guarantee the vectorized punct_ratio rests on)."""
+    import re
+
+    w = re.compile(r"\w", re.UNICODE)
+    # full sweep is ~0.6 s; sample densely around class boundaries instead
+    probes = list(range(0, 0x3000)) + list(range(0x1D400, 0x1D800)) + [
+        0x00B2, 0x00BC, 0x2070, 0x2460, 0x3007, 0x31350, 0x10FFFF,
+    ]
+    for c in probes:
+        ch = chr(c)
+        assert bool(w.match(ch)) == (ch.isalnum() or ch == "_"), hex(c)
