@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_report": q.q_corpus_report,
         # semantic (embedding-cosine) benchmark decontamination
         "embedding_decontam": q.q_embedding_decontam,
+        # per-target-URL anchor-text aggregation (web-graph feature)
+        "anchor_texts": q.q_anchor_texts,
     }
 
 
@@ -813,6 +815,22 @@ def oracle_sql() -> dict[str, str]:
             "WHEN substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train' "
             "WHEN substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val' "
             "ELSE 'test' END AS split FROM documents"
+        ),
+        "anchor_texts": (
+            "WITH b AS (SELECT doc_id, "
+            "'h' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS src_host, "
+            "'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS base "
+            "FROM documents), links AS ("
+            "SELECT src_host, base || '/' AS dst_url, 'Home' AS anchor FROM b "
+            "UNION ALL SELECT src_host, base || '/a', 'Archive' FROM b "
+            "UNION ALL SELECT src_host, base || '/b', 'About' FROM b "
+            "UNION ALL SELECT src_host, 'https://site' || CAST(doc_id % 7 AS VARCHAR) "
+            "|| '.example/p/' || CAST(doc_id * 2 AS VARCHAR), 'read doc ' || CAST(doc_id AS VARCHAR) FROM b "
+            "UNION ALL SELECT src_host, base || '/tos', 'Terms' FROM b) "
+            "SELECT dst_url, CAST(count(*) AS BIGINT) AS n_links, "
+            "CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts, "
+            "string_agg(DISTINCT anchor, '|' ORDER BY anchor) AS anchors "
+            "FROM links GROUP BY dst_url"
         ),
         "embedding_decontam": (
             # DuckDB recomputes every cosine independently; 0.35 is a

@@ -214,6 +214,7 @@ def run_bench() -> dict:
     timed("split_assign", q.q_split_assign)
     timed("corpus_report", q.q_corpus_report)
     timed("embedding_decontam", q.q_embedding_decontam)
+    timed("anchor_texts", q.q_anchor_texts)
 
     out = {
         "metric": "extract_e2e_sec",

@@ -1733,3 +1733,13 @@ def q_embedding_decontam(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return embedding_decontam(ds, bench_vecs, "embedding", "vec_id")
+
+
+def q_anchor_texts(sf_dir: str):
+    """Per-target-URL anchor-text aggregate (what other pages call this
+    one — the anchor-text pretraining / target-quality signal): per-batch
+    triple-dedup partials, one crc32(dst_url) exchange bounded by distinct
+    (dst, anchor, src_host) triples, per-partition lexsort sweep."""
+    from ..stages.links import anchor_text_agg, page_out_links
+
+    return anchor_text_agg(page_out_links(_synth_linked_pages(sf_dir)))

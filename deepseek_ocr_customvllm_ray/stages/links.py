@@ -245,3 +245,98 @@ def host_in_links(edges_ds, agg_blocks: int = 1):
             Count(alias_name="n_src_hosts"),
         )
     )
+
+
+def anchor_text_agg(links_ds, num_partitions: int = 32, sep: str = "|"):
+    """Out-link rows -> per-TARGET-URL anchor-text aggregate
+    ``(dst_url, n_links, n_src_hosts, anchors)`` — the web-graph feature
+    behind anchor-text pretraining / target-page quality signals (what do
+    OTHER pages call this one?).
+
+    Scale shape (the inverted-index pattern): per-batch partials dedupe
+    (dst_url, anchor, src_host) triples and pre-count links, so the ONE
+    crc32(dst_url) exchange is bounded by distinct triples, not link
+    volume; each partition then resolves all its targets in one
+    lexsort + run-boundary sweep (anchors joined sorted-distinct, hosts
+    counted distinct).  ``sep`` must not occur inside anchors (the synth
+    corpus guarantees it; real deployments pick an unused control char).
+    """
+    from zlib import crc32 as _crc32
+
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dst = np.asarray(batch["dst_url"].to_pylist(), dtype=object)
+        anc = np.asarray(batch["anchor"].to_pylist(), dtype=object)
+        src = np.asarray(batch["src_host"].to_pylist(), dtype=object)
+        if not len(dst):
+            return pa.table({
+                "dst_url": pa.array([], pa.string()),
+                "anchor": pa.array([], pa.string()),
+                "src_host": pa.array([], pa.string()),
+                "n_p": pa.array([], pa.int64()),
+            })
+        order = np.lexsort((src, anc, dst))
+        d_s, a_s, s_s = dst[order], anc[order], src[order]
+        new = np.empty(len(d_s), dtype=bool)
+        new[0] = True
+        new[1:] = (d_s[1:] != d_s[:-1]) | (a_s[1:] != a_s[:-1]) | (s_s[1:] != s_s[:-1])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(d_s)))
+        return pa.table({
+            "dst_url": pa.array(d_s[starts], pa.string()),
+            "anchor": pa.array(a_s[starts], pa.string()),
+            "src_host": pa.array(s_s[starts], pa.string()),
+            "n_p": pa.array(counts, pa.int64()),
+        })
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = np.array(
+            [_crc32(u.encode("utf-8")) % num_partitions
+             for u in batch["dst_url"].to_pylist()],
+            dtype=np.int32,
+        )
+        return batch.append_column("_part", pa.array(part, pa.int32()))
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        batch = batch.drop_columns(["_part"])
+        n = batch.num_rows
+        if not n:
+            return pa.table({
+                "dst_url": pa.array([], pa.string()),
+                "n_links": pa.array([], pa.int64()),
+                "n_src_hosts": pa.array([], pa.int64()),
+                "anchors": pa.array([], pa.string()),
+            })
+        dst = np.asarray(batch["dst_url"].to_pylist(), dtype=object)
+        anc = np.asarray(batch["anchor"].to_pylist(), dtype=object)
+        src = np.asarray(batch["src_host"].to_pylist(), dtype=object)
+        cnt = batch["n_p"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((src, anc, dst))
+        d_s, a_s, s_s, c_s = dst[order], anc[order], src[order], cnt[order]
+        new_dst = np.empty(n, dtype=bool)
+        new_dst[0] = True
+        new_dst[1:] = d_s[1:] != d_s[:-1]
+        starts = np.flatnonzero(new_dst)
+        ends = np.append(starts[1:], n)
+        out_dst, out_n, out_h, out_a = [], [], [], []
+        for s, e in zip(starts, ends):
+            out_dst.append(d_s[s])
+            out_n.append(int(c_s[s:e].sum()))
+            out_h.append(len(set(s_s[s:e])))
+            out_a.append(sep.join(sorted(set(a_s[s:e]))))
+        return pa.table({
+            "dst_url": pa.array(out_dst, pa.string()),
+            "n_links": pa.array(out_n, pa.int64()),
+            "n_src_hosts": pa.array(out_h, pa.int64()),
+            "anchors": pa.array(out_a, pa.string()),
+        })
+
+    return (
+        links_ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(resolve, batch_format="pyarrow")
+    )

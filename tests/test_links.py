@@ -153,3 +153,52 @@ class TestRollups:
             for r in host_in_links(host_edges(self._links())).take_all()
         }
         assert rows == {"b.example": (4, 2), "c.example": (1, 1)}
+
+
+class TestAnchorTextAgg:
+    def test_rollup_counts_and_sorted_distinct_anchors(self, ray_session):
+        import ray.data as rd
+
+        from deepseek_ocr_customvllm_ray.stages.links import anchor_text_agg
+
+        pages = _pages([
+            ("https://a.example/1",
+             '<a href="https://t.example/x">zeta</a>'
+             '<a href="https://t.example/x">alpha</a>'),
+            ("https://b.example/2", '<a href="https://t.example/x">alpha</a>'),
+            ("https://b.example/3", '<a href="https://t.example/y">solo</a>'),
+        ])
+        out = {
+            r["dst_url"]: (r["n_links"], r["n_src_hosts"], r["anchors"])
+            for r in anchor_text_agg(page_out_links(rd.from_arrow(pages))).take_all()
+        }
+        assert out["https://t.example/x"] == (3, 2, "alpha|zeta")
+        assert out["https://t.example/y"] == (1, 1, "solo")
+
+    def test_partition_invariant(self, ray_session):
+        import ray.data as rd
+
+        from deepseek_ocr_customvllm_ray.stages.links import anchor_text_agg
+
+        pages = _pages([
+            (f"https://h{i%3}.example/{i}",
+             f'<a href="https://t.example/p{i%4}">anchor {i%5}</a>')
+            for i in range(40)
+        ])
+        a = sorted(
+            map(tuple, (
+                (r["dst_url"], r["n_links"], r["n_src_hosts"], r["anchors"])
+                for r in anchor_text_agg(
+                    page_out_links(rd.from_arrow(pages))).take_all()
+            ))
+        )
+        b = sorted(
+            map(tuple, (
+                (r["dst_url"], r["n_links"], r["n_src_hosts"], r["anchors"])
+                for r in anchor_text_agg(
+                    page_out_links(rd.from_arrow(pages).repartition(7)),
+                    num_partitions=5,
+                ).take_all()
+            ))
+        )
+        assert a == b
