@@ -137,6 +137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_decontam": q.q_embedding_decontam,
         # per-target-URL anchor-text aggregation (web-graph feature)
         "anchor_texts": q.q_anchor_texts,
+        # host-graph PageRank (endorsement-weighted quality signal)
+        "host_pagerank": q.q_host_pagerank,
     }
 
 
@@ -815,6 +817,9 @@ def oracle_sql() -> dict[str, str]:
             "WHEN substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train' "
             "WHEN substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val' "
             "ELSE 'test' END AS split FROM documents"
+        ),
+        "host_pagerank": (
+            "SELECT * FROM read_parquet('/root/repo/golden/host_pagerank.parquet')"
         ),
         "anchor_texts": (
             "WITH b AS (SELECT doc_id, "

@@ -215,6 +215,7 @@ def run_bench() -> dict:
     timed("corpus_report", q.q_corpus_report)
     timed("embedding_decontam", q.q_embedding_decontam)
     timed("anchor_texts", q.q_anchor_texts)
+    timed("host_pagerank", q.q_host_pagerank)
 
     out = {
         "metric": "extract_e2e_sec",

@@ -1743,3 +1743,14 @@ def q_anchor_texts(sf_dir: str):
     from ..stages.links import anchor_text_agg, page_out_links
 
     return anchor_text_agg(page_out_links(_synth_linked_pages(sf_dir)))
+
+
+def q_host_pagerank(sf_dir: str):
+    """Host-graph PageRank over the synthesized link structure: the
+    endorsement-weighted quality signal (distributed edge rollup, then
+    dense power iteration on the host-bounded table)."""
+    from ..stages.links import host_edges, host_pagerank, page_out_links
+
+    return host_pagerank(
+        host_edges(page_out_links(_synth_linked_pages(sf_dir)))
+    )

@@ -340,3 +340,48 @@ def anchor_text_agg(links_ds, num_partitions: int = 32, sep: str = "|"):
         .groupby("_part")
         .map_groups(resolve, batch_format="pyarrow")
     )
+
+
+def host_pagerank(
+    edges_ds, damping: float = 0.85, iters: int = 20
+):
+    """Host-graph PageRank over the :func:`host_edges` table — the
+    classic in-degree-with-endorsement quality signal (spam farms get high
+    raw in-degree but low rank because their endorsers have none).
+
+    The HOST graph is distinct-host-pair-bounded (~10^7 hosts / ~10^9
+    edges for the full web — hundreds of MB), so after the distributed
+    edge rollup the power iteration runs as dense numpy on one node: the
+    edge table is collected ONCE (documented ceiling; shard the matvec by
+    dst-hash above it), ranks iterate with link-weighted transition
+    probabilities and uniform dangling-mass redistribution.  Returns a
+    pandas DataFrame (host, rank) summing to 1; deterministic float64.
+    """
+    import numpy as np
+    import pandas as pd
+
+    edges = edges_ds.to_pandas()
+    if not len(edges):
+        return pd.DataFrame({"host": pd.array([], dtype=object),
+                             "rank": pd.array([], dtype="float64")})
+    hosts = np.unique(
+        np.concatenate([edges["src_host"].to_numpy(), edges["dst_host"].to_numpy()])
+    )
+    ix = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    src = edges["src_host"].map(ix).to_numpy()
+    dst = edges["dst_host"].map(ix).to_numpy()
+    w = edges["n_links"].to_numpy().astype(np.float64)
+
+    out_w = np.zeros(n, dtype=np.float64)
+    np.add.at(out_w, src, w)
+    p = w / out_w[src]  # transition probability per edge
+
+    r = np.full(n, 1.0 / n, dtype=np.float64)
+    dangling = out_w == 0
+    for _ in range(iters):
+        contrib = np.zeros(n, dtype=np.float64)
+        np.add.at(contrib, dst, r[src] * p)
+        dangling_mass = r[dangling].sum()
+        r = (1.0 - damping) / n + damping * (contrib + dangling_mass / n)
+    return pd.DataFrame({"host": hosts, "rank": r})

@@ -202,3 +202,48 @@ class TestAnchorTextAgg:
             ))
         )
         assert a == b
+
+
+class TestHostPagerank:
+    def test_mass_conserved_and_hub_ranks_highest(self, ray_session):
+        import ray.data as rd
+
+        from deepseek_ocr_customvllm_ray.stages.links import (
+            host_edges, host_pagerank,
+        )
+
+        pages = _pages([
+            (f"https://h{i % 4}.example/p{i}",
+             '<a href="https://hub.example/x">h</a>')
+            for i in range(20)
+        ])
+        pr = host_pagerank(host_edges(page_out_links(rd.from_arrow(pages))))
+        assert abs(pr["rank"].sum() - 1.0) < 1e-9
+        top = pr.sort_values("rank", ascending=False).iloc[0]
+        assert top["host"] == "hub.example"
+
+    def test_dangling_mass_redistributed(self, ray_session):
+        import ray.data as rd
+
+        from deepseek_ocr_customvllm_ray.stages.links import (
+            host_edges, host_pagerank,
+        )
+
+        # a -> b, b has no out-links (dangling): mass must not leak
+        pages = _pages([("https://a.example/1",
+                         '<a href="https://b.example/x">x</a>')])
+        pr = host_pagerank(host_edges(page_out_links(rd.from_arrow(pages))))
+        assert abs(pr["rank"].sum() - 1.0) < 1e-9
+        ranks = dict(zip(pr["host"], pr["rank"]))
+        assert ranks["b.example"] > ranks["a.example"]
+
+    def test_empty_graph(self, ray_session):
+        import ray.data as rd
+
+        from deepseek_ocr_customvllm_ray.stages.links import (
+            host_edges, host_pagerank,
+        )
+
+        pages = _pages([("https://a.example/1", "<p>no links</p>")])
+        pr = host_pagerank(host_edges(page_out_links(rd.from_arrow(pages))))
+        assert len(pr) == 0

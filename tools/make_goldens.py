@@ -51,6 +51,7 @@ GOLDEN_QUERIES = [
     "layout_pdf",
     "augment_fingerprints",
     "dsir_select",
+    "host_pagerank",
 ]
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "golden")
