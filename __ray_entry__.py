@@ -139,6 +139,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_texts": q.q_anchor_texts,
         # host-graph PageRank (endorsement-weighted quality signal)
         "host_pagerank": q.q_host_pagerank,
+        # as-of (backward temporal) join: click -> last prior purchase
+        "events_asof": q.q_events_asof,
     }
 
 
@@ -820,6 +822,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "host_pagerank": (
             "SELECT * FROM read_parquet('/root/repo/golden/host_pagerank.parquet')"
+        ),
+        "events_asof": (
+            # independent re-derivation via DuckDB's native ASOF LEFT JOIN;
+            # right-side (user, ts) ties collapsed to max event_id exactly
+            # as the engine's tiebreak contract (stages/asof.py)
+            "WITH c AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'click'), "
+            "p AS (SELECT event_id AS purchase_event_id, "
+            "value AS purchase_value, user_id, ts FROM events "
+            "WHERE event_type = 'purchase' "
+            "QUALIFY row_number() OVER (PARTITION BY user_id, ts "
+            "ORDER BY event_id DESC) = 1) "
+            "SELECT c.event_id, c.user_id, c.ts, "
+            "p.purchase_event_id, p.purchase_value "
+            "FROM c ASOF LEFT JOIN p "
+            "ON c.user_id = p.user_id AND c.ts >= p.ts"
         ),
         "anchor_texts": (
             "WITH b AS (SELECT doc_id, "

@@ -216,6 +216,7 @@ def run_bench() -> dict:
     timed("embedding_decontam", q.q_embedding_decontam)
     timed("anchor_texts", q.q_anchor_texts)
     timed("host_pagerank", q.q_host_pagerank)
+    timed("events_asof", q.q_events_asof)
 
     out = {
         "metric": "extract_e2e_sec",

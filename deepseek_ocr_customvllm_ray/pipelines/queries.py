@@ -1754,3 +1754,44 @@ def q_host_pagerank(sf_dir: str):
     return host_pagerank(
         host_edges(page_out_links(_synth_linked_pages(sf_dir)))
     )
+
+
+def q_events_asof(sf_dir: str):
+    """As-of (backward temporal) join: every ``click`` event stamped with
+    the most recent prior-or-equal ``purchase`` by the same user — the
+    last-state lookup (last purchase before an interaction, last deploy
+    before an error) that neither Ray Data nor a plain equi-join
+    expresses.  One crc32(user) exchange co-locates both sides; each
+    partition resolves ALL its keys in a single composite-int64
+    ``searchsorted`` sweep (stages/asof.py).  DuckDB independently
+    re-derives it with ``ASOF LEFT JOIN`` (ties collapsed to max
+    event_id on both sides so the match is deterministic)."""
+    from ..stages.asof import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def split(kind: str, rename: dict):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch["event_type"], kind))
+            t = t.select(list(rename))
+            return t.rename_columns([rename[c] for c in rename])
+
+        return fn
+
+    left = ev.map_batches(
+        split("click", {"event_id": "event_id", "user_id": "user_id", "ts": "ts"}),
+        batch_format="pyarrow",
+    )
+    right = ev.map_batches(
+        split(
+            "purchase",
+            {
+                "event_id": "purchase_event_id",
+                "value": "purchase_value",
+                "user_id": "user_id",
+                "ts": "ts",
+            },
+        ),
+        batch_format="pyarrow",
+    )
+    return asof_join(left, right, on="ts", by="user_id", tiebreak="purchase_event_id")
