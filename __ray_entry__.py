@@ -141,6 +141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": q.q_host_pagerank,
         # as-of (backward temporal) join: click -> last prior purchase
         "events_asof": q.q_events_asof,
+        # exact global quantiles via histogram refinement (no sort shuffle)
+        "length_quantiles": q.q_length_quantiles,
     }
 
 
@@ -838,6 +840,15 @@ def oracle_sql() -> dict[str, str]:
             "p.purchase_event_id, p.purchase_value "
             "FROM c ASOF LEFT JOIN p "
             "ON c.user_id = p.user_id AND c.ts >= p.ts"
+        ),
+        "length_quantiles": (
+            # quantile_disc == percentile_disc == the engine's ceil-rank
+            # selection (verified semantics-identical in tests/test_quantiles)
+            "SELECT CAST(0.25 AS DOUBLE) AS p, CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS value FROM documents "
+            "UNION ALL SELECT 0.5, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) FROM documents "
+            "UNION ALL SELECT 0.75, CAST(quantile_disc(n_chars, 0.75) AS BIGINT) FROM documents "
+            "UNION ALL SELECT 0.9, CAST(quantile_disc(n_chars, 0.9) AS BIGINT) FROM documents "
+            "UNION ALL SELECT 0.99, CAST(quantile_disc(n_chars, 0.99) AS BIGINT) FROM documents"
         ),
         "anchor_texts": (
             "WITH b AS (SELECT doc_id, "

@@ -1795,3 +1795,15 @@ def q_events_asof(sf_dir: str):
         batch_format="pyarrow",
     )
     return asof_join(left, right, on="ts", by="user_id", tiebreak="purchase_event_id")
+
+
+def q_length_quantiles(sf_dir: str):
+    """Exact global quantiles of document length WITHOUT a distributed
+    sort: iterative histogram-refinement selection (stages/quantiles.py)
+    — 2+R map-only passes over the single projected column with KB-scale
+    partials, vs a full all-to-all for ``ds.sort``.  percentile_disc
+    (ceil-rank) semantics; DuckDB re-derives with quantile_disc."""
+    from ..stages.quantiles import exact_quantiles
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+    return exact_quantiles(ds, "n_chars", [0.25, 0.5, 0.75, 0.9, 0.99])

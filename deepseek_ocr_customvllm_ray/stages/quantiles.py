@@ -1,0 +1,224 @@
+"""Exact global quantiles WITHOUT a distributed sort — iterative
+histogram-refinement selection (the textbook distributed k-selection):
+
+1. one stats pass (count / min / max partials, one tiny row per batch),
+2. histogram passes: every batch bins each target's surviving candidates
+   into ``n_buckets`` (``np.bincount``, one sparse partial per target per
+   batch); the driver folds the tiny partials, walks the cumulative
+   histogram to the bucket containing the target rank, and narrows the
+   candidate set to that bucket — candidates shrink ~n_buckets x / round,
+3. a final collect pass ships ONLY the surviving candidates (<=
+   ``max_candidates`` per target) to the driver for exact selection.
+
+Candidate membership is an exact BIN-EQUALITY PREDICATE CHAIN, not a
+range filter: each refinement level is recorded as (lo, w, bucket) and a
+value is a candidate iff ``clip(floor((v - lo)/w), 0, nb-1) == bucket``
+at EVERY level, evaluated with the identical float ops that binned it —
+so a value counted into bucket b during the histogram round can never
+drift into bucket b±1 when re-tested later (the classic float-boundary
+bug in range-refinement selection).
+
+Contrast with ``ds.sort(col)``: a sort is an all-to-all exchange of every
+row; this is 2 + R map-only passes over ONE projected column (R = 1-2 for
+typical integer ranges with 2048 buckets), and each pass's partial is a
+few KB per batch.  At 10^12 rows the network moves kilobytes per batch
+instead of the corpus.
+
+Rank semantics match SQL ``percentile_disc`` / DuckDB ``quantile_disc``:
+the value whose 1-indexed rank in the sorted column is ``ceil(p * n)``
+(nulls and NaNs excluded from n).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+
+def _clean(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col]
+    arr = arr.filter(arr.is_valid())
+    v = arr.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    if len(v):
+        v = v[~np.isnan(v)]
+    return v
+
+
+def _member(v: np.ndarray, levels, nb: int) -> np.ndarray:
+    """Vectorized bin-equality chain: True where v survives every level."""
+    mask = np.ones(len(v), dtype=bool)
+    for lo, w, bi in levels:
+        b = np.clip(((v - lo) / w).astype(np.int64), 0, nb - 1)
+        mask &= b == bi
+    return mask
+
+
+def exact_quantiles(
+    ds,
+    col: str,
+    ps: Sequence[float],
+    n_buckets: int = 2048,
+    max_candidates: int = 200_000,
+    max_rounds: int = 16,
+) -> pa.Table:
+    """Exact ``percentile_disc`` values for each p in ``ps`` over a numeric
+    column.  Returns a small driver-side ``pa.Table (p: double, value:
+    <col type>)`` — |ps| rows, inherently driver-scale.
+
+    Every distributed pass is ``map_batches`` over the single projected
+    column with constant-size partials; only the final pass moves data
+    values, and only the <= ``max_candidates`` survivors per target.
+    """
+    ps = list(ps)
+    if not ps or any(not (0.0 < p <= 1.0) for p in ps):
+        raise ValueError(f"percentiles must be in (0, 1], got {ps}")
+
+    out_type = None
+    sch = ds.schema()
+    for name, typ in zip(sch.names, sch.types):
+        if name == col:
+            out_type = typ
+    if out_type is None or not isinstance(out_type, pa.DataType):
+        out_type = pa.float64()
+    is_int = pa.types.is_integer(out_type)
+
+    # ---- pass 0: count / min / max (one tiny row per batch) ----
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        v = _clean(batch, col)
+        if not len(v):
+            return pa.table({
+                "n": pa.array([], pa.int64()),
+                "lo": pa.array([], pa.float64()),
+                "hi": pa.array([], pa.float64()),
+            })
+        return pa.table({
+            "n": pa.array([len(v)], pa.int64()),
+            "lo": pa.array([float(v.min())], pa.float64()),
+            "hi": pa.array([float(v.max())], pa.float64()),
+        })
+
+    parts = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    n_total = int(parts["n"].sum()) if len(parts) else 0
+    if n_total == 0:
+        return pa.table({
+            "p": pa.array([], pa.float64()),
+            "value": pa.array([], out_type),
+        })
+    g_lo = float(parts["lo"].min())
+    g_hi = float(parts["hi"].max())
+
+    nb = int(n_buckets)
+    n_t = len(ps)
+    rank = np.array(
+        [max(1, math.ceil(p * n_total)) for p in ps], dtype=np.int64
+    )  # 1-indexed rank within the current candidate set
+    count = np.full(n_t, n_total, dtype=np.int64)
+    # per-target state: (cur_lo, cur_hi) conceptual interval for choosing
+    # the next bucket width, plus the exact predicate chain
+    cur_lo = np.full(n_t, g_lo)
+    cur_hi = np.full(n_t, g_hi)
+    levels: List[List[Tuple[float, float, int]]] = [[] for _ in range(n_t)]
+    resolved = np.zeros(n_t, dtype=bool)
+    values: List[float] = [math.nan] * n_t
+
+    for ti in range(n_t):
+        if g_lo == g_hi:  # constant column: every quantile is that value
+            values[ti] = g_lo
+            resolved[ti] = True
+
+    # ---- histogram refinement rounds ----
+    for _ in range(max_rounds):
+        active = [
+            ti
+            for ti in range(n_t)
+            if not resolved[ti]
+            and count[ti] > max_candidates
+            and cur_hi[ti] > cur_lo[ti]
+        ]
+        if not active:
+            break
+        spec = [
+            (levels[ti], float(cur_lo[ti]), (float(cur_hi[ti]) - float(cur_lo[ti])) / nb)
+            for ti in active
+        ]
+
+        def hist_partial(batch: pa.Table, _spec=spec, _nb=nb) -> pa.Table:
+            v = _clean(batch, col)
+            rows_t, rows_b, rows_n = [], [], []
+            for ai, (lvls, lo, w) in enumerate(_spec):
+                sel = v[_member(v, lvls, _nb)] if lvls else v
+                if not len(sel):
+                    continue
+                b = np.clip(((sel - lo) / w).astype(np.int64), 0, _nb - 1)
+                cnts = np.bincount(b, minlength=_nb)
+                nz = np.flatnonzero(cnts)
+                rows_t.extend([ai] * len(nz))
+                rows_b.extend(nz.tolist())
+                rows_n.extend(cnts[nz].tolist())
+            return pa.table({
+                "t": pa.array(rows_t, pa.int32()),
+                "b": pa.array(rows_b, pa.int32()),
+                "n": pa.array(rows_n, pa.int64()),
+            })
+
+        hp = ds.map_batches(hist_partial, batch_format="pyarrow").to_pandas()
+        grouped = hp.groupby(["t", "b"])["n"].sum() if len(hp) else None
+        for ai, ti in enumerate(active):
+            _, lo, w = spec[ai]
+            dense = np.zeros(nb, dtype=np.int64)
+            if grouped is not None and ai in grouped.index.get_level_values(0):
+                sub = grouped.loc[ai]
+                dense[sub.index.to_numpy()] = sub.to_numpy()
+            cum = np.cumsum(dense)
+            bi = int(np.searchsorted(cum, rank[ti], side="left"))
+            below = int(cum[bi - 1]) if bi > 0 else 0
+            rank[ti] -= below
+            count[ti] = int(dense[bi])
+            levels[ti] = levels[ti] + [(lo, w, bi)]
+            cur_lo[ti] = lo + bi * w
+            cur_hi[ti] = lo + (bi + 1) * w
+            if is_int:
+                # at most one integer can remain in a sub-1-width bucket
+                # (epsilon relative to magnitude so large ids don't misround)
+                eps = 1e-9 * max(1.0, abs(cur_lo[ti]), abs(cur_hi[ti]))
+                lo_i = math.ceil(cur_lo[ti] - eps)
+                hi_i = math.floor(cur_hi[ti] + eps)
+                if lo_i >= hi_i:
+                    values[ti] = float(lo_i)
+                    resolved[ti] = True
+
+    # ---- final collect: only surviving candidates cross the wire ----
+    pending = [ti for ti in range(n_t) if not resolved[ti]]
+    if pending:
+        p_spec = [levels[ti] for ti in pending]
+
+        def collect(batch: pa.Table, _spec=p_spec, _nb=nb) -> pa.Table:
+            v = _clean(batch, col)
+            rows_t, rows_v = [], []
+            for ai, lvls in enumerate(_spec):
+                sel = v[_member(v, lvls, _nb)] if lvls else v
+                rows_t.extend([ai] * len(sel))
+                rows_v.extend(sel.tolist())
+            return pa.table({
+                "t": pa.array(rows_t, pa.int32()),
+                "v": pa.array(rows_v, pa.float64()),
+            })
+
+        cand = ds.map_batches(collect, batch_format="pyarrow").to_pandas()
+        for ai, ti in enumerate(pending):
+            sel = np.sort(cand.loc[cand["t"] == ai, "v"].to_numpy())
+            if not (1 <= rank[ti] <= len(sel)):
+                raise AssertionError(
+                    f"quantile refinement lost rank {rank[ti]} vs "
+                    f"{len(sel)} candidates for p={ps[ti]}"
+                )
+            values[ti] = float(sel[rank[ti] - 1])
+
+    if is_int:
+        out_vals = pa.array([int(round(v)) for v in values], out_type)
+    else:
+        out_vals = pa.array(values, out_type)
+    return pa.table({"p": pa.array(ps, pa.float64()), "value": out_vals})

@@ -1,0 +1,92 @@
+"""Exact-quantile selection (stages/quantiles.py) vs numpy/DuckDB ground
+truth — the engine must reproduce SQL ``percentile_disc`` (ceil-rank)
+semantics exactly, including duplicate-heavy, constant, tiny, and
+float-boundary-hostile columns."""
+
+import math
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from deepseek_ocr_customvllm_ray.stages.quantiles import exact_quantiles
+
+PS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def _disc(vals, p):
+    """percentile_disc reference: 1-indexed rank ceil(p*n) of sorted vals."""
+    s = np.sort(np.asarray(vals))
+    return s[max(1, math.ceil(p * len(s))) - 1]
+
+
+def _run(vals, ps=PS, **kw):
+    typ = pa.int64() if all(isinstance(v, (int, np.integer)) for v in vals) else pa.float64()
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(vals, typ)})).repartition(8)
+    return exact_quantiles(ds, "x", ps, **kw)
+
+
+def test_matches_numpy_disc_int():
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 50_000, size=20_000).tolist()
+    t = _run(vals, max_candidates=500)  # force refinement rounds
+    for p, v in zip(t["p"].to_pylist(), t["value"].to_pylist()):
+        assert v == _disc(vals, p), p
+
+
+def test_matches_duckdb_quantile_disc():
+    rng = np.random.default_rng(11)
+    # duplicate-heavy: zipf-ish ints
+    vals = (rng.zipf(1.3, size=5_000) % 1000).astype(np.int64).tolist()
+    t = _run(vals, max_candidates=200)
+    con = duckdb.connect()
+    con.register("v", pa.table({"x": pa.array(vals, pa.int64())}))
+    for p, v in zip(t["p"].to_pylist(), t["value"].to_pylist()):
+        (want,) = con.execute(
+            f"SELECT quantile_disc(x, {p}) FROM v"
+        ).fetchone()
+        assert v == want, p
+
+
+def test_float_column():
+    rng = np.random.default_rng(3)
+    vals = rng.normal(0, 1e6, size=8_000).tolist()
+    t = _run(vals, max_candidates=300)
+    for p, v in zip(t["p"].to_pylist(), t["value"].to_pylist()):
+        assert v == pytest.approx(_disc(vals, p), abs=0.0), p
+
+
+def test_constant_and_tiny():
+    t = _run([42] * 1000)
+    assert t["value"].to_pylist() == [42] * len(PS)
+    t = _run([5])
+    assert t["value"].to_pylist() == [5] * len(PS)
+    t = _run([3, 1, 2], ps=[0.5, 1.0])
+    assert t["value"].to_pylist() == [2, 3]
+
+
+def test_nulls_and_nans_excluded():
+    tbl = pa.table({
+        "x": pa.array([1.0, None, float("nan"), 2.0, 3.0, 4.0], pa.float64())
+    })
+    ds = ray.data.from_arrow(tbl)
+    t = exact_quantiles(ds, "x", [0.5])
+    assert t["value"].to_pylist() == [2.0]
+
+
+def test_empty():
+    ds = ray.data.from_arrow(pa.table({"x": pa.array([], pa.int64())}))
+    t = exact_quantiles(ds, "x", [0.5])
+    assert len(t) == 0
+
+
+def test_adversarial_boundary_values():
+    # values engineered to sit exactly on bucket boundaries of the first
+    # histogram round: lo=0, hi=2048 with nb=2048 gives w=1.0 — every
+    # integer lands ON a boundary; the predicate chain must stay exact.
+    vals = list(range(0, 2049)) * 5
+    t = _run(vals, max_candidates=50, n_buckets=2048)
+    for p, v in zip(t["p"].to_pylist(), t["value"].to_pylist()):
+        assert v == _disc(vals, p), p
