@@ -90,6 +90,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # paragraph dedup) over the synthesized-newline documents view
         "line_filter": q.q_line_filter,
         "paragraph_dedup": q.q_paragraph_dedup,
+        # token-span (substring) dedup: duplicated 5-gram stats + scrub
+        "dup_ngram_stats": q.q_dup_ngram_stats,
+        "scrub_dup_ngrams": q.q_scrub_dup_ngrams,
         # URL canonicalization / per-domain corpus shaping
         "url_parse": q.q_url_parse,
         "domain_quota": q.q_domain_quota,
@@ -621,6 +624,53 @@ def oracle_sql() -> dict[str, str]:
             "string_agg(para, chr(10) ORDER BY idx) FILTER (WHERE rn = 1) AS text, "
             "count(*) AS n_paras, count(*) FILTER (WHERE rn = 1) AS n_kept "
             "FROM ranked GROUP BY doc_id HAVING count(*) FILTER (WHERE rn = 1) > 0"
+        ),
+        "dup_ngram_stats": (
+            # duplicated iff the exact 5-token string occurs in >= 2
+            # distinct documents; tokenization = string_split(text, ' ')
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents WHERE text IS NOT NULL AND length(text) > 0), "
+            "gidx AS (SELECT doc_id, t, "
+            "unnest(generate_series(1, len(t) - 4)) AS i FROM toks), "
+            "grams AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g "
+            "FROM gidx), "
+            "dup AS (SELECT g FROM grams GROUP BY g "
+            "HAVING count(DISTINCT doc_id) >= 2), "
+            "per AS (SELECT doc_id, count(*) AS n_kgrams, "
+            "count(*) FILTER (WHERE g IN (SELECT g FROM dup)) AS n_dup_kgrams "
+            "FROM grams GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(per.n_kgrams, 0) AS n_kgrams, "
+            "coalesce(per.n_dup_kgrams, 0) AS n_dup_kgrams "
+            "FROM documents d LEFT JOIN per USING (doc_id)"
+        ),
+        "scrub_dup_ngrams": (
+            # token q (1-based) is cut iff some duplicated 5-gram
+            # occurrence starts at i in [q-4, q]; all occurrences scrubbed
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents WHERE text IS NOT NULL), "
+            "gidx AS (SELECT doc_id, t, "
+            "unnest(generate_series(1, len(t) - 4)) AS i FROM toks), "
+            "grams AS (SELECT doc_id, i, array_to_string(t[i:i+4], ' ') AS g "
+            "FROM gidx), "
+            "dup AS (SELECT g FROM grams GROUP BY g "
+            "HAVING count(DISTINCT doc_id) >= 2), "
+            "dupocc AS (SELECT doc_id, i FROM grams "
+            "WHERE g IN (SELECT g FROM dup)), "
+            "tokpos AS (SELECT doc_id, unnest(t) AS tok, "
+            "generate_subscripts(t, 1) AS q FROM toks), "
+            "cov AS (SELECT DISTINCT tp.doc_id, tp.q FROM tokpos tp "
+            "JOIN dupocc d ON d.doc_id = tp.doc_id "
+            "AND tp.q BETWEEN d.i AND d.i + 4), "
+            "scrubbed AS (SELECT tp.doc_id, "
+            "coalesce(string_agg(tp.tok, ' ' ORDER BY tp.q) "
+            "FILTER (WHERE c.q IS NULL), '') AS text, "
+            "count(*) AS n_tokens, count(c.q) AS n_removed "
+            "FROM tokpos tp LEFT JOIN cov c "
+            "ON c.doc_id = tp.doc_id AND c.q = tp.q GROUP BY tp.doc_id) "
+            "SELECT d.doc_id, coalesce(s.text, '') AS text, "
+            "coalesce(s.n_tokens, 0) AS n_tokens, "
+            "coalesce(s.n_removed, 0) AS n_removed "
+            "FROM documents d LEFT JOIN scrubbed s USING (doc_id)"
         ),
         "url_parse": (
             # same deterministic url synthesis as the Ray adapter

@@ -1127,6 +1127,27 @@ def q_paragraph_dedup(sf_dir: str):
     )
 
 
+def q_dup_ngram_stats(sf_dir: str):
+    """Per-document duplicated-5-gram counts (Lee et al. 2022 token-span
+    granularity): a 5-token window is duplicated iff its exact string
+    occurs in >= 2 distinct documents corpus-wide.  Thin-row hash
+    exchange; DuckDB recomputes it with list slices of string_split."""
+    from ..stages.dupspans import dup_ngram_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dup_ngram_stats(ds, "text", "doc_id", k=5, num_partitions=16)
+
+
+def q_scrub_dup_ngrams(sf_dir: str):
+    """Cut every token covered by a corpus-duplicated 5-gram occurrence
+    (the C4/Lee removal form — ALL occurrences scrubbed); survivors
+    re-joined with single spaces.  Broadcast dup-key probe."""
+    from ..stages.dupspans import scrub_dup_ngrams
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return scrub_dup_ngrams(ds, "text", "doc_id", k=5, num_partitions=16)
+
+
 # --- URL canonicalization / domain shaping (stages/urls.py) ---------------
 
 
