@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q.q_stratified_sample,
         "pii_redaction": q.q_pii_redaction,
         "word_frequencies": q.q_word_frequencies,
+        "bigram_frequencies": q.q_bigram_frequencies,
+        "weighted_sample": q.q_weighted_sample,
         "pack_sequences": q.q_pack_sequences,
         "benchmark_decontam": q.q_benchmark_decontam,
         "epoch_shuffle": q.q_epoch_shuffle,
@@ -462,6 +464,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')) AS token "
             "FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) <> '') "
             "GROUP BY token ORDER BY n DESC, token LIMIT 50"
+        ),
+        "bigram_frequencies": (
+            "WITH toks AS (SELECT string_split_regex(trim(text, ' ' || chr(9) "
+            "|| chr(10) || chr(11) || chr(12) || chr(13)), '\\s+') AS t "
+            "FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) "
+            "|| chr(11) || chr(12) || chr(13)) <> ''), "
+            "gidx AS (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i "
+            "FROM toks), "
+            "pairs AS (SELECT t[i] || ' ' || t[i+1] AS pair FROM gidx) "
+            "SELECT pair, count(*) AS n FROM pairs "
+            "GROUP BY pair ORDER BY n DESC, pair LIMIT 50"
+        ),
+        "weighted_sample": (
+            # Efraimidis-Spirakis: u exact (13 hex chars / 2^52), key =
+            # -ln(u)/w, k smallest with id tie-break; winners only
+            "WITH keyed AS (SELECT doc_id, n_chars, "
+            "-ln(CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), "
+            "1, 13)) AS UBIGINT) / 4503599627370496.0) / n_chars AS k "
+            "FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0) "
+            "SELECT doc_id, n_chars FROM keyed ORDER BY k, doc_id LIMIT 50"
         ),
         "epoch_shuffle": (
             "SELECT doc_id, substr(md5('42:0:' || CAST(doc_id AS VARCHAR)), "

@@ -935,6 +935,24 @@ def q_word_frequencies(sf_dir: str):
     return analysis.word_frequencies(ds, "text", top_k=50)
 
 
+def q_bigram_frequencies(sf_dir: str):
+    """Corpus top-50 adjacent word pairs (BPE merge-pair count at word
+    granularity): per-batch partials, pair-vocabulary groupby,
+    deterministic (n desc, pair) ordering."""
+    ds = _read(sf_dir, "documents", ["text"])
+    return analysis.bigram_frequencies(ds, "text", top_k=50)
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sample without replacement (Efraimidis-
+    Spirakis exponential keys, weight = n_chars): 50 winners, map-only
+    partial top-k, id tie-break."""
+    from ..stages.sampling import weighted_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return weighted_sample(ds, "doc_id", "n_chars", k=50, seed=42)
+
+
 def q_pack_sequences(sf_dir: str):
     """Training sequence packing: 256-token budget, id-range partitioning
     (parallelism-invariant; greedy fill is not SQL-expressible -> golden

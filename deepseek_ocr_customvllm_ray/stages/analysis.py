@@ -353,6 +353,72 @@ def word_frequencies(ds, text_col: str, top_k: int | None = None):
     return out
 
 
+def make_bigram_count_partial(text_col: str):
+    """Per-batch partial word-BIGRAM counts — the first iteration of a
+    BPE-style merge-pair count at word granularity (which adjacent token
+    pair is most frequent corpus-wide), and the Gopher duplicate-bigram
+    signal's corpus-level sibling.  Same combiner shape as
+    :func:`make_word_count_partial`: the downstream ``groupby`` shuffles
+    one row per DISTINCT pair per batch, so volume scales with the pair
+    vocabulary, not the corpus.  Pairs never cross document boundaries;
+    the join separator is a single space (tokens are ``\\s+``-split, so
+    they cannot contain one — the pair string is unambiguous and DuckDB
+    re-derives it from list slices)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch[text_col])
+        nonempty = trimmed.filter(
+            pc.fill_null(pc.greater(pc.utf8_length(trimmed), 0), False)
+        )
+        lists = pc.split_pattern_regex(nonempty, pattern=r"\s+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        empty = pa.table({
+            "pair": pa.array([], pa.string()),
+            "cnt_p": pa.array([], pa.int64()),
+        })
+        if not len(lists):
+            return empty
+        offsets = lists.offsets.to_numpy().astype(np.int64)
+        offsets = offsets - offsets[0]
+        values = lists.flatten()
+        n = len(values)
+        if n < 2:
+            return empty
+        valid = np.ones(n, dtype=bool)
+        valid[offsets[1:] - 1] = False  # last token of each doc
+        idx = np.flatnonzero(valid)
+        if not len(idx):
+            return empty
+        left = values.take(pa.array(idx))
+        right = values.take(pa.array(idx + 1))
+        pairs = pc.binary_join_element_wise(left, right, " ")
+        vc = pairs.value_counts()
+        return pa.table({
+            "pair": vc.field("values"),
+            "cnt_p": vc.field("counts").cast(pa.int64()),
+        })
+
+    return fn
+
+
+def bigram_frequencies(ds, text_col: str, top_k: int | None = None):
+    """``Dataset -> Dataset`` of (pair, n) corpus bigram frequencies.
+
+    Partial counts per batch, one pair-vocabulary groupby, optional
+    deterministic top-k (count desc, pair asc)."""
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(make_bigram_count_partial(text_col), batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("cnt_p", alias_name="n"))
+    )
+    if top_k is not None:
+        out = out.sort(["n", "pair"], descending=[True, False]).limit(top_k)
+    return out
+
+
 def make_bpe_token_count_batch(text_col: str, id_col: str):
     """Approximate BPE token counts via the GPT-2 pre-tokenizer regex
     (compiled once at module import; not SQL-expressible — the pattern uses

@@ -293,3 +293,66 @@ def split_assign(ds, id_col: str, splits: dict, seed: int = 42):
     return ds.map_batches(
         make_split_assign_batch(id_col, splits, seed), batch_format="pyarrow"
     )
+
+
+def weighted_sample(ds, id_col: str, weight_col: str, k: int, seed: int = 42):
+    """Deterministic weighted sample WITHOUT replacement (Efraimidis &
+    Spirakis 2006): each row draws ``u = md5_uniform(seed, id)`` and ranks
+    by the exponential key ``-ln(u) / w``; the k SMALLEST keys win, which
+    selects rows with probability proportional to ``weight_col`` — the
+    quality-weighted / length-weighted subset draw of corpus assembly.
+
+    Properties at 100 TB (shared with the rest of the family):
+
+    - **map-only + top-k**: each batch keeps its k best candidates (a
+      ~k-row partial, so the final exchange sees k rows per block, not the
+      corpus); the global resolve sorts the tiny survivor set;
+    - **reproducible & nested**: keys are a pure function of (seed, row),
+      so any cluster shape/retry reproduces the draw, and the size-k
+      sample is a subset of the size-(k+1) sample (keys don't change);
+    - **oracle-friendly**: ``u = CAST('0x' || substr(md5(seed:id), 1, 13)
+      AS UBIGINT) / 2^52`` is exact in IEEE doubles, and DuckDB's
+      ``-ln(u)/w`` evaluates the identical libm expression, so the SQL
+      oracle re-derives the same ranking (ties broken on id).
+
+    Rows with null or non-positive weight are excluded (an exponential
+    with rate <= 0 is undefined).  ``u == 0`` (probability 2^-52) maps to
+    ``+inf`` — never selected — identically in both engines.  Returns
+    only ``(id_col, weight_col)`` for the winners, key dropped.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pre = f"{seed}:".encode()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w_raw = batch[weight_col]
+        ok = pc.fill_null(pc.greater(w_raw.cast(pa.float64()), 0.0), False)
+        sub = batch.filter(ok)
+        ids = sub[id_col].to_pylist()
+        w = sub[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        u = (
+            np.array(
+                [
+                    int(hashlib.md5(pre + str(i).encode()).hexdigest()[:13], 16)
+                    for i in ids
+                ],
+                dtype=np.float64,
+            )
+            / 4503599627370496.0  # 2^52: 13 hex chars, exact in a double
+        )
+        with np.errstate(divide="ignore"):
+            key = -np.log(u) / w
+        ids_np = np.asarray(ids, dtype=np.int64)
+        order = np.lexsort((ids_np, key))[:k]
+        return pa.table({
+            id_col: pa.array(ids_np[order], pa.int64()),
+            weight_col: sub[weight_col].take(pa.array(order)),
+            "_es_key": pa.array(key[order], pa.float64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .sort(["_es_key", id_col])
+        .limit(k)
+        .drop_columns(["_es_key"])
+    )

@@ -282,3 +282,37 @@ def test_py_word_class_equivalence_sweep():
     for c in probes:
         ch = chr(c)
         assert bool(w.match(ch)) == (ch.isalnum() or ch == "_"), hex(c)
+
+
+class TestBigramFrequencies:
+    def _run(self, texts, top_k=None):
+        import ray.data as rd
+
+        ds = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+        df = analysis.bigram_frequencies(ds, "text", top_k=top_k).to_pandas()
+        return {r.pair: int(r.n) for r in df.itertuples(index=False)}
+
+    def test_hand_computed(self, ray_session):
+        got = self._run([
+            "a b a b c",        # "a b" x2, "b a", "b c"
+            "x",                # single token: no bigram
+            None,               # null: nothing
+            "",                 # empty: nothing
+            "  a   b  ",        # trim + multi-space split: one "a b"
+        ])
+        assert got == {"a b": 3, "b a": 1, "b c": 1}
+
+    def test_pairs_do_not_cross_documents(self, ray_session):
+        """The last token of one doc never pairs with the first of the
+        next, regardless of batch layout."""
+        got = self._run(["p q", "q r"])
+        assert got == {"p q": 1, "q r": 1}
+
+    def test_top_k_order_is_deterministic(self, ray_session):
+        import ray.data as rd
+
+        texts = ["m n m n", "z z z", "a a"]  # m n:2, n m:1, z z:2, a a:1
+        ds = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+        df = analysis.bigram_frequencies(ds, "text", top_k=3).to_pandas()
+        assert list(df.pair) == ["m n", "z z", "a a"]  # n desc, pair asc
+        assert list(df.n) == [2, 2, 1]

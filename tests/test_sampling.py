@@ -180,3 +180,71 @@ class TestSplitAssign:
         t = pa.table({"doc_id": pa.array(range(50), pa.int64())})
         out = make_split_assign_batch("doc_id", {"all": 1.0})(t)
         assert set(out["split"].to_pylist()) == {"all"}
+
+
+class TestWeightedSample:
+    """Efraimidis-Spirakis weighted sampling without replacement."""
+
+    @staticmethod
+    def _serial(ids, weights, k, seed=42):
+        import hashlib
+        import numpy as np
+
+        keys = []
+        for i, w in zip(ids, weights):
+            if w is None or w <= 0:
+                continue
+            u = int(
+                hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:13], 16
+            ) / 2.0**52
+            with np.errstate(divide="ignore"):
+                keys.append((-np.log(u) / w, i, w))
+        keys.sort()
+        return [(i, w) for _k, i, w in keys[:k]]
+
+    def _run(self, ids, weights, k, parallelism=4):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from deepseek_ocr_customvllm_ray.stages.sampling import weighted_sample
+
+        t = pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "w": pa.array(weights, pa.int64()),
+        })
+        ds = rd.from_arrow(t).repartition(parallelism)
+        df = weighted_sample(ds, "doc_id", "w", k=k).to_pandas()
+        return [(int(r.doc_id), int(r.w)) for r in df.itertuples(index=False)]
+
+    def test_matches_serial_reference(self, ray_session):
+        ids = list(range(200))
+        weights = [(i % 13) + 1 for i in ids]
+        for k in (1, 10, 50):
+            assert self._run(ids, weights, k) == self._serial(ids, weights, k)
+
+    def test_samples_nest(self, ray_session):
+        """The size-k winner set is a prefix of the size-(k+10) set —
+        keys are a pure function of (seed, row)."""
+        ids = list(range(100))
+        weights = [((i * 7) % 20) + 1 for i in ids]
+        small = self._run(ids, weights, 5)
+        big = self._run(ids, weights, 15)
+        assert big[:5] == small
+
+    def test_nonpositive_and_null_weights_excluded(self, ray_session):
+        ids = [1, 2, 3, 4]
+        weights = [0, -5, None, 100]
+        assert self._run(ids, weights, 4) == [(4, 100)]
+
+    def test_partition_invariant(self, ray_session):
+        ids = list(range(120))
+        weights = [(i % 9) + 1 for i in ids]
+        want = self._serial(ids, weights, 20)
+        for p in (1, 3, 16):
+            assert self._run(ids, weights, 20, parallelism=p) == want, p
+
+    def test_k_validated(self, ray_session):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            self._run([1], [1], 0)
