@@ -217,6 +217,11 @@ def run_bench() -> dict:
     timed("anchor_texts", q.q_anchor_texts)
     timed("host_pagerank", q.q_host_pagerank)
     timed("events_asof", q.q_events_asof)
+    timed("length_quantiles", q.q_length_quantiles)
+    timed("dup_ngram_stats", q.q_dup_ngram_stats)
+    timed("scrub_dup_ngrams", q.q_scrub_dup_ngrams)
+    timed("bigram_frequencies", q.q_bigram_frequencies)
+    timed("weighted_sample", q.q_weighted_sample)
 
     out = {
         "metric": "extract_e2e_sec",
