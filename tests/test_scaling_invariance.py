@@ -78,7 +78,11 @@ for name in ("q_minhash_clusters", "q_ngram_jaccard_pairs", "q_simhash_signature
              "q_events_rolling", "q_inverted_index", "q_group_sample",
              "q_quality_model_score", "q_rebalance_sources",
              "q_kmeans_clusters", "q_semantic_dedup",
-             "q_page_links", "q_host_link_summary"):
+             "q_page_links", "q_host_link_summary",
+             "q_dup_ngram_stats", "q_scrub_dup_ngrams",
+             "q_bigram_frequencies", "q_weighted_sample",
+             "q_length_quantiles", "q_events_asof", "q_anchor_texts",
+             "q_host_pagerank", "q_dsir_select"):
     res = getattr(q, name)(%(sf)r)
     df = res.to_pandas() if hasattr(res, "to_pandas") else res
     df = df[sorted(df.columns)]
