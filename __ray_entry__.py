@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": q.q_events_asof,
         # exact global quantiles via histogram refinement (no sort shuffle)
         "length_quantiles": q.q_length_quantiles,
+        "lang_length_quartiles": q.q_lang_length_quartiles,
     }
 
 
@@ -921,6 +922,17 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 0.75, CAST(quantile_disc(n_chars, 0.75) AS BIGINT) FROM documents "
             "UNION ALL SELECT 0.9, CAST(quantile_disc(n_chars, 0.9) AS BIGINT) FROM documents "
             "UNION ALL SELECT 0.99, CAST(quantile_disc(n_chars, 0.99) AS BIGINT) FROM documents"
+        ),
+        "lang_length_quartiles": (
+            "SELECT lang, CAST(0.25 AS DOUBLE) AS p, "
+            "CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS value "
+            "FROM documents WHERE lang IS NOT NULL GROUP BY lang "
+            "UNION ALL SELECT lang, 0.5, "
+            "CAST(quantile_disc(n_chars, 0.5) AS BIGINT) "
+            "FROM documents WHERE lang IS NOT NULL GROUP BY lang "
+            "UNION ALL SELECT lang, 0.75, "
+            "CAST(quantile_disc(n_chars, 0.75) AS BIGINT) "
+            "FROM documents WHERE lang IS NOT NULL GROUP BY lang"
         ),
         "anchor_texts": (
             "WITH b AS (SELECT doc_id, "

@@ -1846,3 +1846,13 @@ def q_length_quantiles(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["n_chars"])
     return exact_quantiles(ds, "n_chars", [0.25, 0.5, 0.75, 0.9, 0.99])
+
+
+def q_lang_length_quartiles(sf_dir: str):
+    """Per-language exact length quartiles (grouped histogram-refinement
+    k-selection — no sort, no per-group shuffle; one (group, p) target
+    per combination, KB-scale partials)."""
+    from ..stages.quantiles import grouped_exact_quantiles
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return grouped_exact_quantiles(ds, "n_chars", "lang", [0.25, 0.5, 0.75])

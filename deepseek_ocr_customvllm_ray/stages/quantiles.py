@@ -222,3 +222,220 @@ def exact_quantiles(
     else:
         out_vals = pa.array(values, out_type)
     return pa.table({"p": pa.array(ps, pa.float64()), "value": out_vals})
+
+
+def _clean_grouped(batch: pa.Table, col: str, group_col: str):
+    """(group_codes_as_strings, values) with nulls/NaNs dropped pairwise."""
+    import pyarrow.compute as pc
+
+    keep = pc.and_(batch[col].is_valid(), batch[group_col].is_valid())
+    sub = batch.filter(keep)
+    v = sub[col].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    g = sub[group_col].to_numpy(zero_copy_only=False)
+    if len(v):
+        ok = ~np.isnan(v)
+        v, g = v[ok], g[ok]
+    return g, v
+
+
+def grouped_exact_quantiles(
+    ds,
+    col: str,
+    group_col: str,
+    ps: Sequence[float],
+    n_buckets: int = 2048,
+    max_candidates: int = 200_000,
+    max_rounds: int = 16,
+) -> pa.Table:
+    """Per-group exact ``percentile_disc``: ``(group, p, value)`` — the
+    grouped sibling of :func:`exact_quantiles`, same histogram-refinement
+    selection with one (group, p) target per combination.
+
+    Scale shape: identical map-only passes; the per-batch partial grows to
+    one sparse histogram per ACTIVE target, so this is built for modest
+    group cardinality (languages, sources, buckets — <= ~10^3 groups).
+    Beyond that, switch to the log-histogram sketch per group (a single
+    groupby of mergeable sketches) or hash-partition by group and sort
+    within partitions; the driver state here is G x P floats — KB-scale.
+
+    Null group keys are excluded (SQL ``GROUP BY`` would keep a NULL
+    group; the oracle filters it symmetrically).  Rank semantics per group
+    match DuckDB ``quantile_disc`` (1-indexed rank ``ceil(p * n_g)``).
+    """
+    ps = list(ps)
+    if not ps or any(not (0.0 < p <= 1.0) for p in ps):
+        raise ValueError(f"percentiles must be in (0, 1], got {ps}")
+
+    out_type = None
+    sch = ds.schema()
+    for name, typ in zip(sch.names, sch.types):
+        if name == col:
+            out_type = typ
+    if out_type is None or not isinstance(out_type, pa.DataType):
+        out_type = pa.float64()
+    is_int = pa.types.is_integer(out_type)
+
+    # ---- pass 0: per-group count / min / max ----
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        g, v = _clean_grouped(batch, col, group_col)
+        if not len(v):
+            return pa.table({
+                "g": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "lo": pa.array([], pa.float64()),
+                "hi": pa.array([], pa.float64()),
+            })
+        uniq, inv = np.unique(g.astype(str), return_inverse=True)
+        n = np.bincount(inv)
+        lo = np.full(len(uniq), np.inf)
+        hi = np.full(len(uniq), -np.inf)
+        np.minimum.at(lo, inv, v)
+        np.maximum.at(hi, inv, v)
+        return pa.table({
+            "g": pa.array(uniq, pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "lo": pa.array(lo, pa.float64()),
+            "hi": pa.array(hi, pa.float64()),
+        })
+
+    parts = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pa.table({
+            group_col: pa.array([], pa.string()),
+            "p": pa.array([], pa.float64()),
+            "value": pa.array([], out_type),
+        })
+    folded = parts.groupby("g").agg(
+        n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max")
+    ).sort_index()
+    groups = list(folded.index)
+
+    # ---- per-(group, p) target state ----
+    targets = [(gi, pi) for gi in range(len(groups)) for pi in range(len(ps))]
+    n_t = len(targets)
+    rank = np.empty(n_t, dtype=np.int64)
+    count = np.empty(n_t, dtype=np.int64)
+    cur_lo = np.empty(n_t)
+    cur_hi = np.empty(n_t)
+    levels: List[List[Tuple[float, float, int]]] = [[] for _ in range(n_t)]
+    resolved = np.zeros(n_t, dtype=bool)
+    values: List[float] = [math.nan] * n_t
+    nb = int(n_buckets)
+    for ti, (gi, pi) in enumerate(targets):
+        n_g = int(folded["n"].iloc[gi])
+        rank[ti] = max(1, math.ceil(ps[pi] * n_g))
+        count[ti] = n_g
+        cur_lo[ti] = float(folded["lo"].iloc[gi])
+        cur_hi[ti] = float(folded["hi"].iloc[gi])
+        if cur_lo[ti] == cur_hi[ti]:
+            values[ti] = cur_lo[ti]
+            resolved[ti] = True
+
+    # ---- histogram refinement rounds ----
+    for _ in range(max_rounds):
+        active = [
+            ti
+            for ti in range(n_t)
+            if not resolved[ti]
+            and count[ti] > max_candidates
+            and cur_hi[ti] > cur_lo[ti]
+        ]
+        if not active:
+            break
+        spec = [
+            (
+                groups[targets[ti][0]],
+                levels[ti],
+                float(cur_lo[ti]),
+                (float(cur_hi[ti]) - float(cur_lo[ti])) / nb,
+            )
+            for ti in active
+        ]
+
+        def hist_partial(batch: pa.Table, _spec=spec, _nb=nb) -> pa.Table:
+            g, v = _clean_grouped(batch, col, group_col)
+            gs = g.astype(str)
+            rows_t, rows_b, rows_n = [], [], []
+            for ai, (gv, lvls, lo, w) in enumerate(_spec):
+                sub = v[gs == gv]
+                sel = sub[_member(sub, lvls, _nb)] if lvls else sub
+                if not len(sel):
+                    continue
+                b = np.clip(((sel - lo) / w).astype(np.int64), 0, _nb - 1)
+                cnts = np.bincount(b, minlength=_nb)
+                nz = np.flatnonzero(cnts)
+                rows_t.extend([ai] * len(nz))
+                rows_b.extend(nz.tolist())
+                rows_n.extend(cnts[nz].tolist())
+            return pa.table({
+                "t": pa.array(rows_t, pa.int32()),
+                "b": pa.array(rows_b, pa.int32()),
+                "n": pa.array(rows_n, pa.int64()),
+            })
+
+        hp = ds.map_batches(hist_partial, batch_format="pyarrow").to_pandas()
+        grouped = hp.groupby(["t", "b"])["n"].sum() if len(hp) else None
+        for ai, ti in enumerate(active):
+            _, _, lo, w = spec[ai]
+            dense = np.zeros(nb, dtype=np.int64)
+            if grouped is not None and ai in grouped.index.get_level_values(0):
+                sub = grouped.loc[ai]
+                dense[sub.index.to_numpy()] = sub.to_numpy()
+            cum = np.cumsum(dense)
+            bi = int(np.searchsorted(cum, rank[ti], side="left"))
+            below = int(cum[bi - 1]) if bi > 0 else 0
+            rank[ti] -= below
+            count[ti] = int(dense[bi])
+            levels[ti] = levels[ti] + [(lo, w, bi)]
+            cur_lo[ti] = lo + bi * w
+            cur_hi[ti] = lo + (bi + 1) * w
+            if is_int:
+                eps = 1e-9 * max(1.0, abs(cur_lo[ti]), abs(cur_hi[ti]))
+                lo_i = math.ceil(cur_lo[ti] - eps)
+                hi_i = math.floor(cur_hi[ti] + eps)
+                if lo_i >= hi_i:
+                    values[ti] = float(lo_i)
+                    resolved[ti] = True
+
+    # ---- final collect ----
+    pending = [ti for ti in range(n_t) if not resolved[ti]]
+    if pending:
+        p_spec = [
+            (groups[targets[ti][0]], levels[ti]) for ti in pending
+        ]
+
+        def collect(batch: pa.Table, _spec=p_spec, _nb=nb) -> pa.Table:
+            g, v = _clean_grouped(batch, col, group_col)
+            gs = g.astype(str)
+            rows_t, rows_v = [], []
+            for ai, (gv, lvls) in enumerate(_spec):
+                sub = v[gs == gv]
+                sel = sub[_member(sub, lvls, _nb)] if lvls else sub
+                rows_t.extend([ai] * len(sel))
+                rows_v.extend(sel.tolist())
+            return pa.table({
+                "t": pa.array(rows_t, pa.int32()),
+                "v": pa.array(rows_v, pa.float64()),
+            })
+
+        cand = ds.map_batches(collect, batch_format="pyarrow").to_pandas()
+        for ai, ti in enumerate(pending):
+            sel = np.sort(cand.loc[cand["t"] == ai, "v"].to_numpy())
+            if not (1 <= rank[ti] <= len(sel)):
+                raise AssertionError(
+                    f"grouped quantile refinement lost rank {rank[ti]} vs "
+                    f"{len(sel)} candidates for target {targets[ti]}"
+                )
+            values[ti] = float(sel[rank[ti] - 1])
+
+    out_g = [groups[gi] for gi, _pi in targets]
+    out_p = [ps[pi] for _gi, pi in targets]
+    if is_int:
+        out_vals = pa.array([int(round(v)) for v in values], out_type)
+    else:
+        out_vals = pa.array(values, out_type)
+    return pa.table({
+        group_col: pa.array(out_g, pa.string()),
+        "p": pa.array(out_p, pa.float64()),
+        "value": out_vals,
+    })

@@ -90,3 +90,65 @@ def test_adversarial_boundary_values():
     t = _run(vals, max_candidates=50, n_buckets=2048)
     for p, v in zip(t["p"].to_pylist(), t["value"].to_pylist()):
         assert v == _disc(vals, p), p
+
+
+# --- grouped variant --------------------------------------------------------
+
+from deepseek_ocr_customvllm_ray.stages.quantiles import grouped_exact_quantiles
+
+
+def _run_grouped(groups, vals, ps=(0.25, 0.5, 0.75), **kw):
+    t = pa.table({
+        "g": pa.array(groups, pa.string()),
+        "x": pa.array(vals, pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(8)
+    out = grouped_exact_quantiles(ds, "x", "g", list(ps), **kw).to_pandas()
+    return {(r.g, r.p): int(r.value) for r in out.itertuples(index=False)}
+
+
+def test_grouped_matches_numpy(ray_session):
+    rng = np.random.default_rng(3)
+    groups = [f"g{i % 4}" for i in range(4000)]
+    vals = rng.integers(0, 100_000, size=4000).tolist()
+    got = _run_grouped(groups, vals, max_candidates=200)  # force refinement
+    for g in {f"g{i}" for i in range(4)}:
+        sub = [v for gg, v in zip(groups, vals) if gg == g]
+        for p in (0.25, 0.5, 0.75):
+            assert got[(g, p)] == _disc(sub, p), (g, p)
+
+
+def test_grouped_matches_duckdb(ray_session):
+    rng = np.random.default_rng(9)
+    groups = [["en", "fr", "de"][i % 3] for i in range(900)]
+    vals = (rng.zipf(1.5, size=900) % 10_000).astype(np.int64).tolist()
+    got = _run_grouped(groups, vals, max_candidates=100)
+    con = duckdb.connect()
+    con.register("t", pa.table({
+        "g": pa.array(groups, pa.string()), "x": pa.array(vals, pa.int64())
+    }))
+    for p in (0.25, 0.5, 0.75):
+        for g, v in con.execute(
+            f"SELECT g, quantile_disc(x, {p}) FROM t GROUP BY g"
+        ).fetchall():
+            assert got[(g, p)] == v, (g, p)
+
+
+def test_grouped_skewed_group_sizes_and_constant_group(ray_session):
+    groups = ["big"] * 5000 + ["tiny"] * 3 + ["const"] * 50
+    vals = list(range(5000)) + [7, 3, 11] + [42] * 50
+    got = _run_grouped(groups, vals, max_candidates=64)
+    assert got[("const", 0.5)] == 42
+    assert got[("tiny", 0.5)] == _disc([7, 3, 11], 0.5)
+    assert got[("big", 0.75)] == _disc(list(range(5000)), 0.75)
+
+
+def test_grouped_null_keys_and_values_excluded(ray_session):
+    t = pa.table({
+        "g": pa.array(["a", "a", None, "b", "b"], pa.string()),
+        "x": pa.array([1, None, 5, 10, 20], pa.int64()),
+    })
+    ds = ray.data.from_arrow(t)
+    out = grouped_exact_quantiles(ds, "x", "g", [0.5]).to_pandas()
+    got = {(r.g, r.p): int(r.value) for r in out.itertuples(index=False)}
+    assert got == {("a", 0.5): 1, ("b", 0.5): 10}
