@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": q.q_clean_corpus,
         # cross-snapshot incremental dedup (new dump vs prior dump index)
         "snapshot_dedup": q.q_snapshot_dedup,
+        "crawl_delta": q.q_crawl_delta,
         "snapshot_near_dedup": q.q_snapshot_near_dedup,
         "snapshot_dedup_bloom": q.q_snapshot_dedup_bloom,
         # unicode normalization / context-window chunking
@@ -166,6 +167,24 @@ def oracle_sql() -> dict[str, str]:
         ),
         "exact_dedup_keepers": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "crawl_delta": (
+            # same old-snapshot synthesis as the Ray adapter; FULL OUTER
+            # JOIN on the text itself (independent of the digest contract)
+            "WITH newt AS (SELECT doc_id, coalesce(text, '') AS text "
+            "FROM documents), "
+            "old AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 "
+            "THEN coalesce(text, '') || ' v1' ELSE coalesce(text, '') END "
+            "AS text FROM documents WHERE doc_id % 3 != 2 "
+            "UNION ALL SELECT doc_id + 10000000, "
+            "'retired ' || CAST(doc_id AS VARCHAR) "
+            "FROM documents WHERE doc_id % 7 = 0) "
+            "SELECT coalesce(n.doc_id, o.doc_id) AS doc_id, "
+            "CASE WHEN o.doc_id IS NULL THEN 'new' "
+            "WHEN n.doc_id IS NULL THEN 'gone' "
+            "WHEN n.text = o.text THEN 'unchanged' "
+            "ELSE 'changed' END AS status "
+            "FROM newt n FULL OUTER JOIN old o ON n.doc_id = o.doc_id"
         ),
         "snapshot_dedup": (
             # independent anti-join on the text itself (the engine probes

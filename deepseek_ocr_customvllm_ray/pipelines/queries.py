@@ -1339,6 +1339,52 @@ def q_snapshot_dedup(sf_dir: str):
     return kept.select_columns(["doc_id", "n_chars"])
 
 
+def q_crawl_delta(sf_dir: str):
+    """Crawl-delta classification (new/changed/unchanged/gone per url)
+    between a synthesized prior snapshot and the current one — the full
+    outer join shape, resolved with thin digest rows and ONE id-hash
+    exchange (stages/crawldiff.py).  Prior snapshot: every doc except
+    doc_id % 3 == 2 (those are 'new'), even doc_ids carried a ' v1' text
+    suffix (now 'changed'), and doc_id % 7 == 0 contributes a retired
+    url doc_id + 10^7 (now 'gone').  The DuckDB oracle re-derives both
+    sides and FULL OUTER JOINs on the text itself."""
+    from ..stages.crawldiff import snapshot_delta
+
+    new_ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def make_old(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        txt = pc.fill_null(b["text"], "")
+        keep = ids % 3 != 2
+        sub_ids = ids[keep]
+        sub_txt = txt.filter(pa.array(keep))
+        changed = sub_ids % 2 == 0
+        old_txt = pc.if_else(
+            pa.array(changed),
+            pc.binary_join_element_wise(sub_txt, " v1", ""),
+            sub_txt,
+        )
+        retired = ids % 7 == 0
+        rid = ids[retired] + 10_000_000
+        rtxt = pa.array([f"retired {i}" for i in ids[retired]], pa.string())
+        return pa.table({
+            "doc_id": pa.array(
+                np.concatenate([sub_ids, rid]), pa.int64()
+            ),
+            "text": pa.concat_arrays([old_txt.combine_chunks(), rtxt])
+            if isinstance(old_txt, pa.ChunkedArray)
+            else pa.concat_arrays([old_txt, rtxt]),
+        })
+
+    old_ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        make_old, batch_format="pyarrow"
+    )
+    return snapshot_delta(new_ds, old_ds, "doc_id", "text", num_partitions=16)
+
+
 def q_snapshot_near_dedup(sf_dir: str):
     """Cross-snapshot NEAR-dup dedup (fuzzy sibling of snapshot_dedup):
     the prior dump holds slightly-updated versions of every 3rd page (two
