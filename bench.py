@@ -222,6 +222,8 @@ def run_bench() -> dict:
     timed("scrub_dup_ngrams", q.q_scrub_dup_ngrams)
     timed("bigram_frequencies", q.q_bigram_frequencies)
     timed("weighted_sample", q.q_weighted_sample)
+    timed("lang_length_quartiles", q.q_lang_length_quartiles)
+    timed("crawl_delta", q.q_crawl_delta)
 
     out = {
         "metric": "extract_e2e_sec",

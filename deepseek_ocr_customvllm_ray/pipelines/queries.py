@@ -97,7 +97,7 @@ def q_extract_html(sf_dir: str):
     # shuffle dedup: the upstream synthesizes payloads per row, so the
     # broadcast strategy's second upstream pass costs more than the small
     # payload exchange saves (see ExtractConfig.page_dedup_strategy).
-    cfg = ExtractConfig(ocr_concurrency=2, page_dedup_strategy="shuffle")
+    cfg = ExtractConfig(page_dedup_strategy="shuffle")  # pool max = default 8
     out = build_extract_pipeline(pages, cfg)
     return out.select_columns(["url", "extracted_text"])
 
@@ -109,7 +109,7 @@ def q_extract_pdf_markdown(sf_dir: str):
     pages = ds.map_batches(docs_as_pdf_pages, batch_format="pyarrow")
     # shuffle dedup: synthesized upstream, see q_extract_html
     cfg = ExtractConfig(
-        ngram_suppress=False, ocr_concurrency=2, page_dedup_strategy="shuffle"
+        ngram_suppress=False, page_dedup_strategy="shuffle"
     )
     out = build_extract_pipeline(pages, cfg)
     return out.select_columns(["url", "markdown"])
@@ -1668,7 +1668,7 @@ def q_layout_pdf(sf_dir: str):
         docs_as_pdf_pages, batch_format="pyarrow"
     )
     cfg = ExtractConfig(
-        ngram_suppress=False, ocr_concurrency=2, page_dedup_strategy="shuffle"
+        ngram_suppress=False, page_dedup_strategy="shuffle"
     )
     out = build_extract_pipeline(pages, cfg).map_batches(
         make_layout_pdf_batch(), batch_format="pyarrow"
