@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_dup_ngrams": q.q_scrub_dup_ngrams,
         # URL canonicalization / per-domain corpus shaping
         "url_parse": q.q_url_parse,
+        "host_template_strip": q.q_host_template_strip,
         "domain_quota": q.q_domain_quota,
         # end-to-end fuzzy dedup (clusters -> winners -> filtered corpus)
         "fuzzy_dedup_keepers": q.q_fuzzy_dedup_keepers,
@@ -713,6 +714,33 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(s.n_tokens, 0) AS n_tokens, "
             "coalesce(s.n_removed, 0) AS n_removed "
             "FROM documents d LEFT JOIN scrubbed s USING (doc_id)"
+        ),
+        "host_template_strip": (
+            # same banner synthesis as the Ray adapter; modal first line
+            # per source with exact integer share test n*2 >= total
+            "WITH lined AS (SELECT doc_id, source, "
+            "replace(text, ' sort ', chr(10)) AS t FROM documents "
+            "WHERE text IS NOT NULL), "
+            "src AS (SELECT doc_id, source, CASE WHEN doc_id % 4 != 0 "
+            "THEN 'Site ' || source || ' navigation' || chr(10) || t "
+            "ELSE t END AS text FROM lined), "
+            "firsts AS (SELECT doc_id, source, text, "
+            "string_split(text, chr(10))[1] AS fl FROM src), "
+            "counts AS (SELECT source, fl, count(*) AS n FROM firsts "
+            "GROUP BY source, fl), "
+            "tot AS (SELECT source, count(*) AS total FROM firsts "
+            "GROUP BY source), "
+            "modal AS (SELECT source, fl, n FROM (SELECT *, row_number() "
+            "OVER (PARTITION BY source ORDER BY n DESC, fl) AS rn "
+            "FROM counts) WHERE rn = 1), "
+            "win AS (SELECT m.source, m.fl FROM modal m JOIN tot "
+            "USING (source) WHERE tot.total >= 2 AND m.n * 2 >= tot.total) "
+            "SELECT f.doc_id, CASE WHEN w.fl IS NOT NULL AND f.fl = w.fl "
+            "THEN CASE WHEN len(string_split(f.text, chr(10))) > 1 "
+            "THEN array_to_string(string_split(f.text, chr(10))[2:], chr(10)) "
+            "ELSE '' END ELSE f.text END AS text, "
+            "(w.fl IS NOT NULL AND f.fl = w.fl) AS stripped "
+            "FROM firsts f LEFT JOIN win w ON f.source = w.source"
         ),
         "url_parse": (
             # same deterministic url synthesis as the Ray adapter

@@ -1166,6 +1166,36 @@ def q_scrub_dup_ngrams(sf_dir: str):
     return scrub_dup_ngrams(ds, "text", "doc_id", k=5, num_partitions=16)
 
 
+def q_host_template_strip(sf_dir: str):
+    """Host-consensus boilerplate removal (stages/templates.py): every
+    source prepends a 'Site {source} navigation' banner to 3/4 of its
+    docs; the modal-first-line consensus (share >= 1/2, exact integer
+    test) strips it, leaving the other 1/4 byte-identical.  Thin
+    (host, line, n) partials, one host exchange, broadcast winners,
+    map-only strip."""
+    from ..stages.templates import host_template_strip
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        sub = b.filter(b["text"].is_valid())
+        ids = sub["doc_id"].to_numpy(zero_copy_only=False)
+        t = pc.replace_substring(sub["text"], " sort ", "\n")
+        full = pc.binary_join_element_wise(
+            "Site ", sub["source"], " navigation\n", t, ""
+        )
+        return pa.table({
+            "doc_id": sub["doc_id"].cast(pa.int64()),
+            "source": sub["source"],
+            "text": pc.if_else(pa.array(ids % 4 != 0), full, t),
+        })
+
+    pages = ds.map_batches(synth, batch_format="pyarrow")
+    return host_template_strip(
+        pages, "text", "doc_id", "source", min_share=(1, 2), num_partitions=16
+    )
+
+
 # --- URL canonicalization / domain shaping (stages/urls.py) ---------------
 
 
