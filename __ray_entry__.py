@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redaction": q.q_pii_redaction,
         "word_frequencies": q.q_word_frequencies,
         "bigram_frequencies": q.q_bigram_frequencies,
+        "bm25_topk": q.q_bm25_topk,
         "weighted_sample": q.q_weighted_sample,
         "pack_sequences": q.q_pack_sequences,
         "benchmark_decontam": q.q_benchmark_decontam,
@@ -485,6 +486,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')) AS token "
             "FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) <> '') "
             "GROUP BY token ORDER BY n DESC, token LIMIT 50"
+        ),
+        "bm25_topk": (
+            # parenthesization mirrors stages/retrieval.py exactly:
+            # constants written as the same binary ops ((1.2e0 + 1.0e0), not
+            # 2.2), with e0 suffixes so DuckDB parses DOUBLE not DECIMAL
+            "WITH toks AS (SELECT doc_id, string_split_regex(trim(text, "
+            "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), "
+            "'\\s+') AS t FROM documents WHERE trim(text, ' ' || chr(9) "
+            "|| chr(10) || chr(11) || chr(12) || chr(13)) <> ''), "
+            "per AS (SELECT doc_id, len(t) AS dl, "
+            "len(list_filter(t, x -> x = 'hash')) AS tf0, "
+            "len(list_filter(t, x -> x = 'join')) AS tf1, "
+            "len(list_filter(t, x -> x = 'vector')) AS tf2 FROM toks), "
+            "stats AS (SELECT count(*) AS n, sum(dl) AS sdl, "
+            "count(*) FILTER (WHERE tf0 > 0) AS df0, "
+            "count(*) FILTER (WHERE tf1 > 0) AS df1, "
+            "count(*) FILTER (WHERE tf2 > 0) AS df2 FROM per), "
+            "scored AS (SELECT doc_id, "
+            "ln(((n - df0 + 0.5e0) / (df0 + 0.5e0)) + 1.0e0) * "
+            "((tf0 * (1.2 + 1.0e0)) / (tf0 + 1.2e0 * ((1.0e0 - 0.75e0) "
+            "+ (0.75e0 * dl) / (sdl / n)))) + "
+            "ln(((n - df1 + 0.5e0) / (df1 + 0.5e0)) + 1.0e0) * "
+            "((tf1 * (1.2 + 1.0e0)) / (tf1 + 1.2e0 * ((1.0e0 - 0.75e0) "
+            "+ (0.75e0 * dl) / (sdl / n)))) + "
+            "ln(((n - df2 + 0.5e0) / (df2 + 0.5e0)) + 1.0e0) * "
+            "((tf2 * (1.2 + 1.0e0)) / (tf2 + 1.2e0 * ((1.0e0 - 0.75e0) "
+            "+ (0.75e0 * dl) / (sdl / n)))) AS score FROM per, stats) "
+            "SELECT doc_id, score FROM scored WHERE score > 0.0e0 "
+            "ORDER BY score DESC, doc_id LIMIT 20"
         ),
         "bigram_frequencies": (
             "WITH toks AS (SELECT string_split_regex(trim(text, ' ' || chr(9) "

@@ -935,6 +935,18 @@ def q_word_frequencies(sf_dir: str):
     return analysis.word_frequencies(ds, "text", top_k=50)
 
 
+def q_bm25_topk(sf_dir: str):
+    """BM25 top-20 for the query {hash, join, vector}: one tiny stats
+    pass (per-batch int partials), map-only scoring with per-batch top-k,
+    tiny global resolve.  Every float expression shares one fixed
+    parenthesization with the DuckDB oracle, so even the score column
+    hash-matches."""
+    from ..stages.retrieval import bm25_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(ds, "text", "doc_id", ["hash", "join", "vector"], k=20)
+
+
 def q_bigram_frequencies(sf_dir: str):
     """Corpus top-50 adjacent word pairs (BPE merge-pair count at word
     granularity): per-batch partials, pair-vocabulary groupby,
