@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_frequencies": q.q_word_frequencies,
         "bigram_frequencies": q.q_bigram_frequencies,
         "bm25_topk": q.q_bm25_topk,
+        "compression_ratio": q.q_compression_ratio,
         "weighted_sample": q.q_weighted_sample,
         "pack_sequences": q.q_pack_sequences,
         "benchmark_decontam": q.q_benchmark_decontam,
@@ -974,6 +975,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "host_pagerank": (
             "SELECT * FROM read_parquet('/root/repo/golden/host_pagerank.parquet')"
+        ),
+        "compression_ratio": (
+            "SELECT * FROM read_parquet('/root/repo/golden/compression_ratio.parquet')"
         ),
         "events_asof": (
             # independent re-derivation via DuckDB's native ASOF LEFT JOIN;

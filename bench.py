@@ -224,6 +224,9 @@ def run_bench() -> dict:
     timed("weighted_sample", q.q_weighted_sample)
     timed("lang_length_quartiles", q.q_lang_length_quartiles)
     timed("crawl_delta", q.q_crawl_delta)
+    timed("host_template_strip", q.q_host_template_strip)
+    timed("bm25_topk", q.q_bm25_topk)
+    timed("compression_ratio", q.q_compression_ratio)
 
     out = {
         "metric": "extract_e2e_sec",

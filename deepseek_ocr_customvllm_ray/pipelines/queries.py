@@ -935,6 +935,17 @@ def q_word_frequencies(sf_dir: str):
     return analysis.word_frequencies(ds, "text", top_k=50)
 
 
+def q_compression_ratio(sf_dir: str):
+    """zlib compressibility quality signal (CCNet-style): map-only
+    (doc_id, n_bytes, n_zlib) ints; golden snapshot oracle (no SQL
+    zlib)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        analysis.make_compression_stats_batch("text", "doc_id"),
+        batch_format="pyarrow",
+    )
+
+
 def q_bm25_topk(sf_dir: str):
     """BM25 top-20 for the query {hash, join, vector}: one tiny stats
     pass (per-batch int partials), map-only scoring with per-batch top-k,

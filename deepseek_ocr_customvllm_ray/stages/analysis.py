@@ -434,6 +434,38 @@ def make_bpe_token_count_batch(text_col: str, id_col: str):
     return fn
 
 
+def make_compression_stats_batch(text_col: str, id_col: str, level: int = 6):
+    """zlib compression ratio as a quality signal (the CCNet/RefinedWeb
+    heuristic: boilerplate and template spam compress far better than
+    fluent prose, so a low ``n_zlib / n_bytes`` flags low-quality docs).
+
+    Map-only; emits the raw INTS ``(n_bytes, n_zlib)`` so downstream
+    filters derive the ratio exactly and the golden snapshot is
+    engine-independent.  zlib runs its DEFLATE rounds in C — the Python
+    loop is encode + length, the same budget as the digest kernels.  The
+    transform is not SQL-expressible (DuckDB has no zlib) -> pinned
+    golden snapshot oracle; determinism = fixed level, fixed zlib.
+    Null text counts as the empty string (0 bytes in, header-only out).
+    """
+    import zlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        nb = np.empty(len(texts), dtype=np.int64)
+        nz = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            raw = (t or "").encode("utf-8")
+            nb[i] = len(raw)
+            nz[i] = len(zlib.compress(raw, level))
+        return pa.table({
+            "doc_id": batch[id_col].cast(pa.int64()),
+            "n_bytes": pa.array(nb, pa.int64()),
+            "n_zlib": pa.array(nz, pa.int64()),
+        })
+
+    return fn
+
+
 def make_repetition_stats_batch(text_col: str, id_col: str):
     """Gopher-style repetition signals (Rae et al. 2021 §A1.1), map-only.
 

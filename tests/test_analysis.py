@@ -316,3 +316,37 @@ class TestBigramFrequencies:
         df = analysis.bigram_frequencies(ds, "text", top_k=3).to_pandas()
         assert list(df.pair) == ["m n", "z z", "a a"]  # n desc, pair asc
         assert list(df.n) == [2, 2, 1]
+
+
+class TestCompressionStats:
+    def _run(self, texts):
+        import ray.data as rd
+
+        t = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        fn = analysis.make_compression_stats_batch("text", "doc_id")
+        return fn(t)
+
+    def test_repetitive_compresses_better_than_random(self, ray_session):
+        import random
+
+        rng = random.Random(1)
+        rand = "".join(rng.choice("abcdefghij ") for _ in range(2000))
+        rep = "spam boilerplate " * 125  # same 2000ish bytes, repetitive
+        out = self._run([rand, rep])
+        nb = out["n_bytes"].to_pylist()
+        nz = out["n_zlib"].to_pylist()
+        assert nz[1] / nb[1] < nz[0] / nb[0] / 2  # template << random
+
+    def test_null_and_empty(self, ray_session):
+        out = self._run([None, ""])
+        assert out["n_bytes"].to_pylist() == [0, 0]
+        z = out["n_zlib"].to_pylist()
+        assert z[0] == z[1] > 0  # zlib header bytes, deterministic
+
+    def test_deterministic(self, ray_session):
+        a = self._run(["hello world " * 10])
+        b = self._run(["hello world " * 10])
+        assert a == b

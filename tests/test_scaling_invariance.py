@@ -82,7 +82,10 @@ for name in ("q_minhash_clusters", "q_ngram_jaccard_pairs", "q_simhash_signature
              "q_dup_ngram_stats", "q_scrub_dup_ngrams",
              "q_bigram_frequencies", "q_weighted_sample",
              "q_length_quantiles", "q_events_asof", "q_anchor_texts",
-             "q_host_pagerank", "q_dsir_select"):
+             "q_host_pagerank", "q_dsir_select",
+             "q_lang_length_quartiles", "q_crawl_delta",
+             "q_host_template_strip", "q_bm25_topk",
+             "q_compression_ratio"):
     res = getattr(q, name)(%(sf)r)
     df = res.to_pandas() if hasattr(res, "to_pandas") else res
     df = df[sorted(df.columns)]

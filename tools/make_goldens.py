@@ -52,6 +52,7 @@ GOLDEN_QUERIES = [
     "augment_fingerprints",
     "dsir_select",
     "host_pagerank",
+    "compression_ratio",
 ]
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "golden")
