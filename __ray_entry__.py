@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact global quantiles via histogram refinement (no sort shuffle)
         "length_quantiles": q.q_length_quantiles,
         "lang_length_quartiles": q.q_lang_length_quartiles,
+        "winsorize_lengths": q.q_winsorize_lengths,
     }
 
 
@@ -1003,6 +1004,12 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 0.75, CAST(quantile_disc(n_chars, 0.75) AS BIGINT) FROM documents "
             "UNION ALL SELECT 0.9, CAST(quantile_disc(n_chars, 0.9) AS BIGINT) FROM documents "
             "UNION ALL SELECT 0.99, CAST(quantile_disc(n_chars, 0.99) AS BIGINT) FROM documents"
+        ),
+        "winsorize_lengths": (
+            "WITH q AS (SELECT quantile_disc(n_chars, 0.01) AS lo, "
+            "quantile_disc(n_chars, 0.99) AS hi FROM documents) "
+            "SELECT doc_id, CAST(least(greatest(n_chars, lo), hi) AS BIGINT) "
+            "AS n_chars_winsorized FROM documents, q"
         ),
         "lang_length_quartiles": (
             "SELECT lang, CAST(0.25 AS DOUBLE) AS p, "

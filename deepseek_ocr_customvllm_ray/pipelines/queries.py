@@ -1947,6 +1947,31 @@ def q_length_quantiles(sf_dir: str):
     return exact_quantiles(ds, "n_chars", [0.25, 0.5, 0.75, 0.9, 0.99])
 
 
+def q_winsorize_lengths(sf_dir: str):
+    """Composition: exact p01/p99 via histogram refinement, then a
+    map-only clip — outlier winsorization without a sort.  The quantile
+    values are driver-side scalars (2 rows), so the clip broadcasts them
+    in the task closure."""
+    from ..stages.quantiles import exact_quantiles
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    q_t = exact_quantiles(ds, "n_chars", [0.01, 0.99])
+    lo, hi = (int(v) for v in q_t["value"].to_pylist())
+
+    def clip(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        clipped = _pc.min_element_wise(
+            _pc.max_element_wise(b["n_chars"], lo), hi
+        )
+        return pa.table({
+            "doc_id": b["doc_id"].cast(pa.int64()),
+            "n_chars_winsorized": clipped.cast(pa.int64()),
+        })
+
+    return ds.map_batches(clip, batch_format="pyarrow")
+
+
 def q_lang_length_quartiles(sf_dir: str):
     """Per-language exact length quartiles (grouped histogram-refinement
     k-selection — no sort, no per-group shuffle; one (group, p) target
