@@ -167,3 +167,13 @@ def test_consecutive_spaces_are_empty_tokens(ray_session):
     got = _run_scrub(rows, k=3, num_partitions=2)
     assert got[1] == ("c", 4, 3)
     assert got[2] == ("d", 4, 3)
+
+
+def test_unique_corpus_scrub_is_identity(ray_session):
+    """A corpus with no cross-document duplicated k-gram must come back
+    byte-identical from scrub (the suppressor-never-perturbs property)."""
+    rows = [(i, f"w{i}a w{i}b w{i}c w{i}d w{i}e") for i in range(50)]
+    got = _run_scrub(rows, k=3, num_partitions=4)
+    assert got == {i: (t, len(t.split(" ")), 0) for i, t in rows}
+    stats = _run_stats(rows, k=3, num_partitions=4)
+    assert all(d == 0 for _n, d in stats.values())

@@ -102,3 +102,11 @@ def test_partition_invariant(ray_session):
     want = _run(rows, parts=1)
     for parts in (2, 16):
         assert _run(rows, parts=parts) == want, parts
+
+
+def test_no_consensus_corpus_is_identity(ray_session):
+    """Every doc has a distinct first line -> no host clears the share
+    gate -> output is byte-identical input with stripped=false."""
+    rows = [(i, f"h{i % 4}", f"unique head {i}\nbody {i}") for i in range(40)]
+    got = _run(rows)
+    assert got == {i: (t, False) for i, _h, t in rows}
