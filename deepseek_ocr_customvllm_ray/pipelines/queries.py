@@ -1829,10 +1829,16 @@ def q_corpus_report(sf_dir: str):
             "chars_p": pa.array([pc.sum(batch["n_chars"]).as_py() or 0], pa.int64()),
             "tokens_p": pa.array([pc.sum(toks).as_py() or 0], pa.int64()),
             "max_chars_p": pa.array([pc.max(batch["n_chars"]).as_py() or 0], pa.int64()),
-            "sources_p": pa.array([sorted(set(batch["source"].to_pylist()))],
-                                  pa.list_(pa.string())),
-            "langs_p": pa.array([sorted(set(batch["lang"].to_pylist()))],
-                                pa.list_(pa.string())),
+            # drop nulls BEFORE sorting (None < str raises) — and SQL
+            # COUNT(DISTINCT x) excludes NULLs, so the fold must too
+            "sources_p": pa.array(
+                [sorted({v for v in batch["source"].to_pylist() if v is not None})],
+                pa.list_(pa.string()),
+            ),
+            "langs_p": pa.array(
+                [sorted({v for v in batch["lang"].to_pylist() if v is not None})],
+                pa.list_(pa.string()),
+            ),
         })
 
     rows = ds.map_batches(partial, batch_format="pyarrow").take_all()

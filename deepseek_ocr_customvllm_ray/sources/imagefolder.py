@@ -98,14 +98,36 @@ def batch_cli_markdown(images_ds, decode=None):
 def write_per_image_md(md_ds, out_dir: str) -> int:
     """K7 writer: one ``{stem}.md`` per image (stem-matched, like
     run_batch.py:133-146).  Small-corpus CLI artifact — each task writes
-    its batch's files; returns the file count."""
+    its batch's files; returns the count of files on disk.
+
+    Images differing only by extension share a stem; the reference's
+    serial loop writes them in sorted order so the LAST one wins.  Under
+    parallel tasks that would be a race, so the winner (max ``order``
+    per stem) is resolved first on a thin (stem, order) projection and
+    only winning rows write — deterministic on any cluster shape."""
     os.makedirs(out_dir, exist_ok=True)
 
+    winners = (
+        md_ds.select_columns(["stem", "order"])
+        .to_pandas()
+        .groupby("stem")["order"]
+        .max()
+        .to_dict()
+    )
+
     def write_batch(batch: pa.Table) -> pa.Table:
-        for stem, md in zip(batch["stem"].to_pylist(), batch["markdown"].to_pylist()):
+        n = 0
+        for stem, order, md in zip(
+            batch["stem"].to_pylist(),
+            batch["order"].to_pylist(),
+            batch["markdown"].to_pylist(),
+        ):
+            if winners.get(stem) != order:
+                continue  # an extension-sibling later in sort order wins
             with open(os.path.join(out_dir, f"{stem}.md"), "w") as f:
                 f.write(md)
-        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+            n += 1
+        return pa.table({"n": pa.array([n], pa.int64())})
 
     counts = md_ds.map_batches(write_batch, batch_format="pyarrow")
     return sum(r["n"] for r in counts.take_all())

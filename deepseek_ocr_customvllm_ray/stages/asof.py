@@ -37,7 +37,6 @@ Memory is bounded by the largest single partition (raise
 from __future__ import annotations
 
 from typing import List, Optional
-from zlib import crc32
 
 import numpy as np
 import pyarrow as pa
@@ -260,11 +259,11 @@ def asof_join(
         return fn
 
     def add_part(batch: pa.Table) -> pa.Table:
-        keys = batch[by].to_pylist()
-        part = np.array(
-            [crc32(str(k).encode("utf-8")) % num_partitions for k in keys],
-            dtype=np.int32,
-        )
+        # shared partitioning contract (stages/partition.hash_mod —
+        # non-str keys hash their str() form there)
+        from .partition import hash_mod
+
+        part = hash_mod(batch[by].to_pylist(), num_partitions)
         return batch.append_column(_PART, pa.array(part, pa.int32()))
 
     tagged = left_ds.map_batches(_pad(0), batch_format="pyarrow").union(

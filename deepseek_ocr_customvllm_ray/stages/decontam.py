@@ -152,7 +152,12 @@ def embedding_decontam(
     from ..functions.vectors import to_matrix
 
     q = np.asarray(bench_vecs, dtype=np.float64)
-    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    q_norms = np.linalg.norm(q, axis=1, keepdims=True)
+    # pin zero-norm benchmark rows to 1.0 like the corpus side below —
+    # a 0/0 division would make the row NaN and silently match NOTHING
+    # (its exact duplicates would pass decontamination)
+    q_norms[q_norms == 0] = 1.0
+    qn = q / q_norms
     q_ref = ray.put(qn)
 
     def fn(batch: pa.Table) -> pa.Table:

@@ -44,9 +44,14 @@ def asof_join(
     num_partitions: int = 32,
 ):
     """For each left row, attach the right row with the greatest
-    ``right_ts <= left_ts`` within the same key (backward as-of, the
+    ``right_ts <= left_ts`` within the same key (backward as-of —
     ``pd.merge_asof`` / DuckDB ``ASOF JOIN`` semantics).  Unmatched left
     rows keep nulls.  Returns a Dataset of left_cols + right_cols.
+
+    NOTE: this is the explicit-column-list variant kept for the
+    ``events_last_order`` projected contract; ``stages/asof.asof_join``
+    is the generic-schema sibling (any key type, SQL ASOF tie-break) —
+    prefer it for new pipelines, and apply semantics fixes to BOTH.
     """
     # snapshot column types on the DRIVER: the tag UDFs must close over
     # plain dicts, never over the opposite Dataset (a captured Dataset would

@@ -39,27 +39,22 @@ __all__ = ["collect_links", "make_page_links_batch", "page_out_links",
            "host_edges", "host_in_links"]
 
 
-# Block-level elements implicitly close an open <a> (browsers auto-close
-# anchors at block boundaries; stdlib HTMLParser does not) — without this,
-# one missing </a> in crawled HTML turns the whole rest of the page into
-# that anchor's text.
-_BLOCK_TAGS = frozenset({
-    "p", "div", "table", "tr", "td", "th", "li", "ul", "ol", "dl",
-    "section", "article", "aside", "nav", "header", "footer", "main",
-    "form", "blockquote", "pre", "hr",
-    "h1", "h2", "h3", "h4", "h5", "h6",
-})
-
 # Cap on accumulated anchor-text characters per link: bounds memory on
-# hostile/truncated markup where an anchor never closes.
+# hostile/truncated markup where an anchor never closes.  HTML5 allows
+# flow content inside <a> (card markup `<a><div>Read more</div></a>` is
+# valid, and browsers keep anchors open across block boundaries via the
+# adoption agency), so a block-start tag must NOT implicitly close the
+# anchor — the cap alone bounds the missing-</a> runaway, matching what
+# a browser attributes to the link.
 _MAX_ANCHOR_CHARS = 4096
 
 
 class _LinkCollector(HTMLParser):
     """Flat one-pass ``<a href>`` collector: (href, anchor_text, nofollow)
     in document order.  Nested anchors (invalid but common in crawled
-    HTML) are flattened into the innermost-open anchor's text; block-level
-    start tags implicitly close open anchors (browser behavior)."""
+    HTML) are flattened into the innermost-open anchor's text; block
+    content inside an anchor is anchor text (HTML5 card markup), and a
+    missing ``</a>`` is bounded by the per-link char cap."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -68,8 +63,6 @@ class _LinkCollector(HTMLParser):
 
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag != "a":
-            if tag in _BLOCK_TAGS and self._open:
-                self._open.clear()
             return
         href: Optional[str] = None
         nofollow = False
@@ -261,9 +254,9 @@ def anchor_text_agg(links_ds, num_partitions: int = 32, sep: str = "|"):
     counted distinct).  ``sep`` must not occur inside anchors (the synth
     corpus guarantees it; real deployments pick an unused control char).
     """
-    from zlib import crc32 as _crc32
-
     import numpy as np
+
+    from .partition import hash_mod
 
     def partial(batch: pa.Table) -> pa.Table:
         dst = np.asarray(batch["dst_url"].to_pylist(), dtype=object)
@@ -291,11 +284,8 @@ def anchor_text_agg(links_ds, num_partitions: int = 32, sep: str = "|"):
         })
 
     def add_part(batch: pa.Table) -> pa.Table:
-        part = np.array(
-            [_crc32(u.encode("utf-8")) % num_partitions
-             for u in batch["dst_url"].to_pylist()],
-            dtype=np.int32,
-        )
+        # shared partitioning contract (stages/partition.hash_mod)
+        part = hash_mod(batch["dst_url"].to_pylist(), num_partitions)
         return batch.append_column("_part", pa.array(part, pa.int32()))
 
     def resolve(batch: pa.Table) -> pa.Table:

@@ -20,8 +20,16 @@ import pyarrow as pa
 
 
 def hash_mod(values, n: int) -> np.ndarray:
+    """crc32(str) % n per value — THE string-key partitioning contract
+    (every operator that co-locates on a string key routes through here,
+    so a mixing change lands everywhere at once).  Non-str keys hash
+    their ``str()`` form, keeping one deterministic rule for generic
+    keys (as-of join int keys, etc.)."""
     return np.fromiter(
-        (zlib.crc32(v.encode("utf-8")) % n for v in values),
+        (
+            zlib.crc32((v if isinstance(v, str) else str(v)).encode("utf-8")) % n
+            for v in values
+        ),
         dtype=np.int32,
         count=len(values),
     )

@@ -26,7 +26,14 @@ instead of the corpus.
 
 Rank semantics match SQL ``percentile_disc`` / DuckDB ``quantile_disc``:
 the value whose 1-indexed rank in the sorted column is ``ceil(p * n)``
-(nulls and NaNs excluded from n).
+(nulls and NaNs excluded from n).  ``+/-inf`` values count toward n and
+resolve by position (they sort outside every finite value, so their
+COUNTS suffice — they are never binned, which would stall refinement).
+
+Dtype caveat: candidates ride float64, so integer columns are exact up
+to 2^53; above that (e.g. snowflake-style ids) distinct ints can round
+to the same double and the selected value may be off by the rounding —
+use the value as a partition boundary, not an exact lookup, there.
 """
 
 from __future__ import annotations
@@ -45,6 +52,20 @@ def _clean(batch: pa.Table, col: str) -> np.ndarray:
     if len(v):
         v = v[~np.isnan(v)]
     return v
+
+
+def _finite_parts(v: np.ndarray):
+    """(n_neg_inf, n_pos_inf, finite values).  Infinities sort before /
+    after every finite value, so their COUNTS are all the refinement
+    needs — binning them would make the bucket width inf/NaN and stall
+    every round (then ship the whole column in the collect pass)."""
+    if not len(v):
+        return 0, 0, v
+    n_neg = int(np.count_nonzero(v == -np.inf))
+    n_pos = int(np.count_nonzero(v == np.inf))
+    if n_neg or n_pos:
+        v = v[np.isfinite(v)]
+    return n_neg, n_pos, v
 
 
 def _member(v: np.ndarray, levels, nb: int) -> np.ndarray:
@@ -91,13 +112,23 @@ def exact_quantiles(
         if not len(v):
             return pa.table({
                 "n": pa.array([], pa.int64()),
+                "nneg": pa.array([], pa.int64()),
+                "npos": pa.array([], pa.int64()),
                 "lo": pa.array([], pa.float64()),
                 "hi": pa.array([], pa.float64()),
             })
+        nneg, npos, fin = _finite_parts(v)
         return pa.table({
             "n": pa.array([len(v)], pa.int64()),
-            "lo": pa.array([float(v.min())], pa.float64()),
-            "hi": pa.array([float(v.max())], pa.float64()),
+            "nneg": pa.array([nneg], pa.int64()),
+            "npos": pa.array([npos], pa.int64()),
+            # NaN when the batch holds no finite value; the fold skips it
+            "lo": pa.array(
+                [float(fin.min()) if len(fin) else math.nan], pa.float64()
+            ),
+            "hi": pa.array(
+                [float(fin.max()) if len(fin) else math.nan], pa.float64()
+            ),
         })
 
     parts = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
@@ -107,7 +138,10 @@ def exact_quantiles(
             "p": pa.array([], pa.float64()),
             "value": pa.array([], out_type),
         })
-    g_lo = float(parts["lo"].min())
+    n_neg = int(parts["nneg"].sum())
+    n_pos = int(parts["npos"].sum())
+    n_fin = n_total - n_neg - n_pos
+    g_lo = float(parts["lo"].min())  # pandas min/max skip NaN
     g_hi = float(parts["hi"].max())
 
     nb = int(n_buckets)
@@ -115,7 +149,7 @@ def exact_quantiles(
     rank = np.array(
         [max(1, math.ceil(p * n_total)) for p in ps], dtype=np.int64
     )  # 1-indexed rank within the current candidate set
-    count = np.full(n_t, n_total, dtype=np.int64)
+    count = np.full(n_t, n_fin, dtype=np.int64)
     # per-target state: (cur_lo, cur_hi) conceptual interval for choosing
     # the next bucket width, plus the exact predicate chain
     cur_lo = np.full(n_t, g_lo)
@@ -125,9 +159,19 @@ def exact_quantiles(
     values: List[float] = [math.nan] * n_t
 
     for ti in range(n_t):
-        if g_lo == g_hi:  # constant column: every quantile is that value
-            values[ti] = g_lo
+        # infinity regions resolve by COUNT alone: -infs sort first,
+        # +infs last, so a rank landing in either region needs no scan
+        if rank[ti] <= n_neg:
+            values[ti] = -math.inf
             resolved[ti] = True
+        elif rank[ti] > n_neg + n_fin:
+            values[ti] = math.inf
+            resolved[ti] = True
+        else:
+            rank[ti] -= n_neg  # rank within the FINITE values
+            if g_lo == g_hi:  # constant finite part: done
+                values[ti] = g_lo
+                resolved[ti] = True
 
     # ---- histogram refinement rounds ----
     for _ in range(max_rounds):
@@ -146,7 +190,7 @@ def exact_quantiles(
         ]
 
         def hist_partial(batch: pa.Table, _spec=spec, _nb=nb) -> pa.Table:
-            v = _clean(batch, col)
+            v = _finite_parts(_clean(batch, col))[2]
             rows_t, rows_b, rows_n = [], [], []
             for ai, (lvls, lo, w) in enumerate(_spec):
                 sel = v[_member(v, lvls, _nb)] if lvls else v
@@ -196,7 +240,7 @@ def exact_quantiles(
         p_spec = [levels[ti] for ti in pending]
 
         def collect(batch: pa.Table, _spec=p_spec, _nb=nb) -> pa.Table:
-            v = _clean(batch, col)
+            v = _finite_parts(_clean(batch, col))[2]
             rows_t, rows_v = [], []
             for ai, lvls in enumerate(_spec):
                 sel = v[_member(v, lvls, _nb)] if lvls else v
@@ -287,13 +331,21 @@ def grouped_exact_quantiles(
             })
         uniq, inv = np.unique(g.astype(str), return_inverse=True)
         n = np.bincount(inv)
+        nneg = np.bincount(inv, weights=(v == -np.inf)).astype(np.int64)
+        npos = np.bincount(inv, weights=(v == np.inf)).astype(np.int64)
+        fin = np.isfinite(v)
         lo = np.full(len(uniq), np.inf)
         hi = np.full(len(uniq), -np.inf)
-        np.minimum.at(lo, inv, v)
-        np.maximum.at(hi, inv, v)
+        np.minimum.at(lo, inv[fin], v[fin])
+        np.maximum.at(hi, inv[fin], v[fin])
+        # groups with no finite value report NaN bounds; the fold skips
+        lo[lo == np.inf] = np.nan
+        hi[hi == -np.inf] = np.nan
         return pa.table({
             "g": pa.array(uniq, pa.string()),
             "n": pa.array(n, pa.int64()),
+            "nneg": pa.array(nneg, pa.int64()),
+            "npos": pa.array(npos, pa.int64()),
             "lo": pa.array(lo, pa.float64()),
             "hi": pa.array(hi, pa.float64()),
         })
@@ -306,7 +358,8 @@ def grouped_exact_quantiles(
             "value": pa.array([], out_type),
         })
     folded = parts.groupby("g").agg(
-        n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max")
+        n=("n", "sum"), nneg=("nneg", "sum"), npos=("npos", "sum"),
+        lo=("lo", "min"), hi=("hi", "max"),
     ).sort_index()
     groups = list(folded.index)
 
@@ -323,13 +376,24 @@ def grouped_exact_quantiles(
     nb = int(n_buckets)
     for ti, (gi, pi) in enumerate(targets):
         n_g = int(folded["n"].iloc[gi])
+        g_neg = int(folded["nneg"].iloc[gi])
+        g_fin = n_g - g_neg - int(folded["npos"].iloc[gi])
         rank[ti] = max(1, math.ceil(ps[pi] * n_g))
-        count[ti] = n_g
+        count[ti] = g_fin
         cur_lo[ti] = float(folded["lo"].iloc[gi])
         cur_hi[ti] = float(folded["hi"].iloc[gi])
-        if cur_lo[ti] == cur_hi[ti]:
-            values[ti] = cur_lo[ti]
+        # infinity regions resolve by count (see exact_quantiles)
+        if rank[ti] <= g_neg:
+            values[ti] = -math.inf
             resolved[ti] = True
+        elif rank[ti] > g_neg + g_fin:
+            values[ti] = math.inf
+            resolved[ti] = True
+        else:
+            rank[ti] -= g_neg
+            if cur_lo[ti] == cur_hi[ti]:
+                values[ti] = cur_lo[ti]
+                resolved[ti] = True
 
     # ---- histogram refinement rounds ----
     for _ in range(max_rounds):
@@ -354,6 +418,9 @@ def grouped_exact_quantiles(
 
         def hist_partial(batch: pa.Table, _spec=spec, _nb=nb) -> pa.Table:
             g, v = _clean_grouped(batch, col, group_col)
+            fin = np.isfinite(v)
+            if not fin.all():
+                g, v = g[fin], v[fin]
             gs = g.astype(str)
             rows_t, rows_b, rows_n = [], [], []
             for ai, (gv, lvls, lo, w) in enumerate(_spec):
@@ -406,6 +473,9 @@ def grouped_exact_quantiles(
 
         def collect(batch: pa.Table, _spec=p_spec, _nb=nb) -> pa.Table:
             g, v = _clean_grouped(batch, col, group_col)
+            fin = np.isfinite(v)
+            if not fin.all():
+                g, v = g[fin], v[fin]
             gs = g.astype(str)
             rows_t, rows_v = [], []
             for ai, (gv, lvls) in enumerate(_spec):

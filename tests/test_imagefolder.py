@@ -69,3 +69,22 @@ def test_write_per_image_md_stem_matched(ray_session, folder, tmp_path):
     assert files == ["C_PAGE.md", "a_page.md", "b_page.md"]
     got = open(os.path.join(out_dir, "b_page.md")).read()
     assert got == batch_cli_clean(EMISSIONS["b_page"])
+
+
+def test_extension_siblings_resolve_deterministically(ray_session, tmp_path):
+    """scan1.png and scan1.jpg share the stem; the reference's serial
+    sorted loop writes last-wins, so the max-order sibling must own
+    scan1.md on any cluster shape — not whichever task ran last."""
+    d = tmp_path / "dup"
+    d.mkdir()
+    (d / "scan1.jpg").write_text("from jpg")
+    (d / "scan1.png").write_text("from png")   # sorts after .jpg -> wins
+    (d / "other.png").write_text("solo")
+    out = tmp_path / "md"
+    n = write_per_image_md(
+        batch_cli_markdown(read_image_folder(str(d))), str(out)
+    )
+    files = sorted(p.name for p in out.iterdir())
+    assert files == ["other.md", "scan1.md"]
+    assert n == 2  # files on disk, not input rows
+    assert "from png" in (out / "scan1.md").read_text()

@@ -61,15 +61,23 @@ class TestCollectLinks:
             ("/x", True), ("/y", True)
         ]
 
-    def test_unclosed_anchor_closed_by_block_tag(self):
-        # a missing </a> must not swallow the rest of the document into the
-        # anchor's text: block-level start tags implicitly close open anchors
+    def test_block_wrapped_anchor_keeps_its_text(self):
+        # HTML5 card markup: block content inside <a> IS the anchor text
+        # (browsers keep anchors open across block boundaries; an earlier
+        # revision cleared open anchors on block tags and lost this)
+        html = '<a href="/card"><div><h3>Read more</h3><p>about x</p></div></a>'
+        out = dict((h, t) for h, t, _ in collect_links(html))
+        assert out["/card"] == "Read more about x"
+
+    def test_unclosed_anchor_bounded_by_cap_not_blocks(self):
+        # a missing </a> attributes following content to the anchor (what
+        # a browser's adoption agency does too); the char cap bounds it
         html = (
-            '<a href="/open">label<p>paragraph text that is NOT anchor text</p>'
+            '<a href="/open">label<p>trailing paragraph</p>'
             '<a href="/next">next</a>'
         )
         out = dict((h, t) for h, t, _ in collect_links(html))
-        assert out["/open"] == "label"
+        assert out["/open"].startswith("label trailing paragraph")
         assert out["/next"] == "next"
 
     def test_anchor_text_capped_on_never_closing_anchor(self):

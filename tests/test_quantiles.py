@@ -152,3 +152,33 @@ def test_grouped_null_keys_and_values_excluded(ray_session):
     out = grouped_exact_quantiles(ds, "x", "g", [0.5]).to_pandas()
     got = {(r.g, r.p): int(r.value) for r in out.itertuples(index=False)}
     assert got == {("a", 0.5): 1, ("b", 0.5): 10}
+
+
+def test_infinities_resolve_by_count(ray_session):
+    """+/-inf stall naive range refinement (inf bucket width); they must
+    resolve positionally and leave the finite refinement intact."""
+    vals = [float("-inf")] * 10 + list(range(100)) + [float("inf")] * 40
+    t = _run([float(v) for v in vals], ps=[0.05, 0.5, 0.9],
+             max_candidates=16)  # force refinement on the finite part
+    got = dict(zip(t["p"].to_pylist(), t["value"].to_pylist()))
+    assert got[0.05] == float("-inf")   # rank 8 <= 10 negs
+    assert got[0.5] == _disc(vals, 0.5)
+    assert got[0.9] == float("inf")     # rank 135 > 110
+    # grouped variant: one group full of +inf, one mixed
+    import ray
+
+    tb = pa.table({
+        "g": pa.array(["inf"] * 5 + ["mix"] * 20, pa.string()),
+        "x": pa.array([float("inf")] * 5
+                      + [float(i) for i in range(19)] + [float("-inf")],
+                      pa.float64()),
+    })
+    out = grouped_exact_quantiles(
+        ray.data.from_arrow(tb).repartition(4), "x", "g", [0.5],
+        max_candidates=4,
+    ).to_pandas()
+    got2 = {(r.g, r.p): r.value for r in out.itertuples(index=False)}
+    assert got2[("inf", 0.5)] == float("inf")
+    assert got2[("mix", 0.5)] == _disc(
+        [float(i) for i in range(19)] + [float("-inf")], 0.5
+    )
