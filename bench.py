@@ -227,6 +227,7 @@ def run_bench() -> dict:
     timed("host_template_strip", q.q_host_template_strip)
     timed("bm25_topk", q.q_bm25_topk)
     timed("compression_ratio", q.q_compression_ratio)
+    timed("winsorize_lengths", q.q_winsorize_lengths)
 
     out = {
         "metric": "extract_e2e_sec",
