@@ -64,7 +64,15 @@ class ExtractConfig:
     ngram_window: int = NGRAM_WINDOW
     ngram_whitelist: frozenset = field(default_factory=lambda: NGRAM_WHITELIST)
     max_payload_mb: int = MAX_PAYLOAD_MB
-    # Byte-length skew bucketing before the OCR stage (SURVEY §4 "Skew").
+    # Byte-length skew bucketing before the OCR stage (SURVEY §4 "Skew"):
+    # when enabled, page rows range-partition on their emission byte-length
+    # bucket so every OCR actor batch holds similarly-sized pages —
+    # batch_size x bucket_max bounds per-batch bytes (the vLLM
+    # max_num_seqs memory analog).  Costs one page-row all-to-all, so it
+    # is OFF for the CPU mock (page explode already equalizes work) and
+    # ON for real-image GPU deployments where a batch mixing a 10 MB scan
+    # with thumbnails over-commits the actor's heap.
+    skew_repartition: bool = False
     skew_bucket_edges: tuple = (4_096, 65_536, 1_048_576)
     # Duplicate-url winner resolution for the map-only pipeline:
     # "local"       — driver-side pandas over the (url, ts, byte-length)

@@ -97,6 +97,32 @@ def build_extract_pipeline(ds, cfg: ExtractConfig = None, dedup: bool = True,
         make_explode_documents(renderer) if renderer is not None else explode_documents
     )
     pages = ds.map_batches(explode, batch_format="pyarrow")
+    if cfg.skew_repartition:
+        # north-star skew handling: range-partition page rows on their
+        # serialized-byte-length bucket so each OCR actor batch is
+        # size-homogeneous (stages/validate.byte_bucket_column); output
+        # is keyed (url, page_no), so the reorder is semantics-free
+        import pyarrow.compute as _pc
+
+        from ..stages.validate import byte_bucket_column
+
+        edges = tuple(cfg.skew_bucket_edges)
+
+        def add_bucket(batch):
+            import pyarrow as _pa
+
+            blen = _pc.cast(
+                _pc.binary_length(batch["emission"]), _pa.int64()
+            )
+            return batch.append_column(
+                "_size_bucket", byte_bucket_column(blen, edges)
+            )
+
+        pages = (
+            pages.map_batches(add_bucket, batch_format="pyarrow")
+            .sort("_size_bucket")
+            .drop_columns(["_size_bucket"])
+        )
     resources = {"num_cpus": 1}
     resources.update(engine_resources or {})
     pages = pages.map_batches(

@@ -485,3 +485,23 @@ def test_distributed_winners_many_tie_groups(ray_session, tmp_path):
         )
         assert out["url"].tolist() == golden_out["url"].tolist(), strategy
         assert out["extracted_text"].tolist() == golden_out["extracted_text"].tolist(), strategy
+
+
+def test_skew_repartition_byte_identical(ray_session, corpus, golden):
+    """The north-star byte-length-bucket repartition before the OCR actor
+    stage reorders page rows only — output documents are byte-identical
+    and carry no helper column."""
+    import ray.data as rd
+
+    gdf = golden.to_pandas().sort_values("url").reset_index(drop=True)
+    out = (
+        build_extract_pipeline(
+            rd.from_arrow(corpus),
+            ExtractConfig(ocr_concurrency=2, skew_repartition=True),
+        )
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    assert "_size_bucket" not in out.columns
+    assert gdf["url"].tolist() == out["url"].tolist()
+    for col in ["markdown", "extracted_text", "raw_md", "doc_json", "n_pages"]:
+        assert gdf[col].tolist() == out[col].tolist(), col
