@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": q.q_top_customers,
         "events_hourly": q.q_events_hourly,
         "events_sessionize": q.q_events_sessionize,
+        "events_lag": q.q_events_lag,
         "top2_docs_per_source": q.q_top2_docs_per_source,
         "customers_without_orders": q.q_customers_without_orders,
         "source_median_chars": q.q_source_median_chars,
@@ -368,6 +369,12 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_events, "
             "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents "
             "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+        ),
+        "events_lag": (
+            "SELECT event_id, user_id, ts, LAG(ts) OVER w AS prev_ts, "
+            "epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS delta_us "
+            "FROM events WINDOW w AS "
+            "(PARTITION BY user_id ORDER BY ts, event_id)"
         ),
         "events_sessionize": (
             "WITH d AS ("

@@ -599,6 +599,16 @@ def q_orders_customer_join(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def q_events_lag(sf_dir: str):
+    """Per-user LAG window function: previous event's ts + exact
+    microsecond inter-arrival delta (one key exchange, vectorized
+    lexsort+shift per partition — no per-key Python)."""
+    from ..stages.windows import key_lag
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return key_lag(ds, "user_id", "ts", "event_id", num_partitions=16)
+
+
 def q_events_sessionize(sf_dir: str):
     """Session windows (30-min inactivity gap) per user — the stream-shaped
     operator (SURVEY §2.10 analog): events as an ordered, partitioned log,

@@ -88,3 +88,68 @@ def rolling_time_agg(
         .groupby("_part")
         .map_groups(sweep, batch_format="pandas")
     )
+
+
+def key_lag(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    num_partitions: int = 16,
+):
+    """Per-key LAG: previous event's timestamp and the exact microsecond
+    delta — SQL ``LAG(ts) OVER (PARTITION BY key ORDER BY ts, id)``, the
+    inter-arrival-time primitive (crawl politeness gaps, session-gap
+    inputs, rate estimation) Ray Data has no window function for.
+
+    ONE crc32(key) exchange co-locates each key's rows; every partition
+    resolves ALL its keys in a single lexsort + shift (no per-key Python).
+    Ties on ts order by ``id_col`` — deterministic on any cluster shape.
+    First event per key gets null ``prev_ts`` / ``delta_us``.  Returns
+    ``(id, key, ts, prev_ts, delta_us)``; delta is exact int64
+    microseconds (both engines subtract epoch integers, no float time).
+    """
+    from .partition import with_hash_partition
+
+    parts = with_hash_partition(ds, key_col, num_partitions)
+
+    def sweep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.drop_columns(["_part"])
+        ts_type = t[ts_col].type
+        if pa.types.is_timestamp(ts_type):
+            # normalize to microseconds so delta_us is unit-true for any
+            # input resolution (s/ms/us/ns columns)
+            ts_type = pa.timestamp("us")
+            t = t.set_column(
+                t.schema.get_field_index(ts_col), ts_col,
+                pc.cast(t[ts_col], ts_type),
+            )
+        out_schema = pa.schema([
+            (id_col, pa.int64()),
+            (key_col, t[key_col].type),
+            (ts_col, ts_type),
+            ("prev_ts", ts_type),
+            ("delta_us", pa.int64()),
+        ])
+        if not t.num_rows:
+            return out_schema.empty_table()
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        ts = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        ids = t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts, keys))
+        k_s, t_s, i_s = keys[order], ts[order], ids[order]
+        has_prev = np.concatenate([[False], k_s[1:] == k_s[:-1]])
+        prev = np.concatenate([[0], t_s[:-1]])
+        delta = np.where(has_prev, t_s - prev, 0)
+        mask = ~has_prev
+        return pa.table({
+            id_col: pa.array(i_s, pa.int64()),
+            key_col: pa.array(k_s, t[key_col].type),
+            ts_col: pa.array(t_s, mask=np.zeros(len(t_s), bool)).cast(ts_type),
+            "prev_ts": pa.array(prev, mask=mask).cast(ts_type),
+            "delta_us": pa.array(delta, mask=mask, type=pa.int64()),
+        }, schema=out_schema)
+
+    return parts.groupby("_part").map_groups(sweep, batch_format="pyarrow")

@@ -74,3 +74,51 @@ class TestRollingTimeAgg:
             rolling_time_agg(
                 rd.from_arrow(_tbl([("a", 0, 1)])), "k", "hour", ["v"], window=0
             )
+
+
+class TestKeyLag:
+    def _run(self, rows, parts=4):
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from deepseek_ocr_customvllm_ray.stages.windows import key_lag
+
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [dt.datetime(2026, 1, 1) + dt.timedelta(seconds=r[2]) for r in rows],
+                pa.timestamp("us"),
+            ),
+        })
+        df = key_lag(
+            rd.from_arrow(t), "user_id", "ts", "event_id", num_partitions=parts
+        ).to_pandas()
+        return {
+            int(r.event_id): (
+                None if r.delta_us != r.delta_us else int(r.delta_us)  # NaN check
+            )
+            for r in df.itertuples(index=False)
+        }
+
+    def test_hand_computed(self, ray_session):
+        rows = [  # (event_id, user, seconds)
+            (1, 7, 0), (2, 7, 10), (3, 7, 10), (4, 7, 25),
+            (5, 8, 100),          # singleton user: null delta
+        ]
+        got = self._run(rows)
+        assert got == {
+            1: None,
+            2: 10_000_000,
+            3: 0,              # tie on ts: ordered by event_id, delta 0
+            4: 15_000_000,
+            5: None,
+        }
+
+    def test_partition_invariant(self, ray_session):
+        rows = [(i, i % 5, (i * 37) % 600) for i in range(200)]
+        want = self._run(rows, parts=1)
+        for p in (3, 16):
+            assert self._run(rows, parts=p) == want, p
