@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q.q_events_hourly,
         "events_sessionize": q.q_events_sessionize,
         "events_lag": q.q_events_lag,
+        "events_row_number": q.q_events_row_number,
         "top2_docs_per_source": q.q_top2_docs_per_source,
         "customers_without_orders": q.q_customers_without_orders,
         "source_median_chars": q.q_source_median_chars,
@@ -369,6 +370,11 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_events, "
             "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents "
             "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+        ),
+        "events_row_number": (
+            "SELECT event_id, user_id, ROW_NUMBER() OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS row_number "
+            "FROM events"
         ),
         "events_lag": (
             "SELECT event_id, user_id, ts, LAG(ts) OVER w AS prev_ts, "

@@ -609,6 +609,15 @@ def q_events_lag(sf_dir: str):
     return key_lag(ds, "user_id", "ts", "event_id", num_partitions=16)
 
 
+def q_events_row_number(sf_dir: str):
+    """Per-user ROW_NUMBER (event sequence index) — integer-exact window
+    function, same single-exchange sweep as events_lag."""
+    from ..stages.windows import key_row_number
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return key_row_number(ds, "user_id", "ts", "event_id", num_partitions=16)
+
+
 def q_events_sessionize(sf_dir: str):
     """Session windows (30-min inactivity gap) per user — the stream-shaped
     operator (SURVEY §2.10 analog): events as an ordered, partitioned log,

@@ -153,3 +153,48 @@ def key_lag(
         }, schema=out_schema)
 
     return parts.groupby("_part").map_groups(sweep, batch_format="pyarrow")
+
+
+def key_row_number(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    num_partitions: int = 16,
+):
+    """Per-key ROW_NUMBER: 1-based event sequence index — SQL
+    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY ts, id)`` (the
+    "nth interaction of this user/host" feature).  Same single-exchange
+    lexsort sweep as :func:`key_lag`; integer-exact by construction.
+    Returns ``(id, key, row_number)``."""
+    from .partition import with_hash_partition
+
+    parts = with_hash_partition(ds, key_col, num_partitions)
+
+    def sweep(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_part"])
+        out_schema = pa.schema([
+            (id_col, pa.int64()),
+            (key_col, t[key_col].type),
+            ("row_number", pa.int64()),
+        ])
+        if not t.num_rows:
+            return out_schema.empty_table()
+        import pyarrow.compute as pc
+
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        ts = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        ids = t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts, keys))
+        k_s, i_s = keys[order], ids[order]
+        new_key = np.concatenate([[True], k_s[1:] != k_s[:-1]])
+        pos = np.arange(len(k_s), dtype=np.int64)
+        start = pos[new_key][np.cumsum(new_key) - 1]
+        rn = pos - start + 1
+        return pa.table({
+            id_col: pa.array(i_s, pa.int64()),
+            key_col: pa.array(k_s, t[key_col].type),
+            "row_number": pa.array(rn, pa.int64()),
+        }, schema=out_schema)
+
+    return parts.groupby("_part").map_groups(sweep, batch_format="pyarrow")

@@ -122,3 +122,32 @@ class TestKeyLag:
         want = self._run(rows, parts=1)
         for p in (3, 16):
             assert self._run(rows, parts=p) == want, p
+
+
+class TestKeyRowNumber:
+    def test_hand_computed_and_invariant(self, ray_session):
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from deepseek_ocr_customvllm_ray.stages.windows import key_row_number
+
+        rows = [(1, 7, 5), (2, 7, 1), (3, 8, 9), (4, 7, 1)]  # tie: ids 2,4
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [dt.datetime(2026, 1, 1) + dt.timedelta(seconds=r[2]) for r in rows],
+                pa.timestamp("us"),
+            ),
+        })
+        want = {2: 1, 4: 2, 1: 3, 3: 1}  # ts asc, id tie-break
+        for parts in (1, 4):
+            df = key_row_number(
+                rd.from_arrow(t), "user_id", "ts", "event_id",
+                num_partitions=parts,
+            ).to_pandas()
+            got = {int(r.event_id): int(r.row_number)
+                   for r in df.itertuples(index=False)}
+            assert got == want, parts
