@@ -228,6 +228,8 @@ def run_bench() -> dict:
     timed("bm25_topk", q.q_bm25_topk)
     timed("compression_ratio", q.q_compression_ratio)
     timed("winsorize_lengths", q.q_winsorize_lengths)
+    timed("events_lag", q.q_events_lag)
+    timed("events_row_number", q.q_events_row_number)
 
     out = {
         "metric": "extract_e2e_sec",

@@ -85,7 +85,8 @@ for name in ("q_minhash_clusters", "q_ngram_jaccard_pairs", "q_simhash_signature
              "q_host_pagerank", "q_dsir_select",
              "q_lang_length_quartiles", "q_crawl_delta",
              "q_host_template_strip", "q_bm25_topk",
-             "q_compression_ratio"):
+             "q_compression_ratio", "q_winsorize_lengths",
+             "q_events_lag", "q_events_row_number"):
     res = getattr(q, name)(%(sf)r)
     df = res.to_pandas() if hasattr(res, "to_pandas") else res
     df = df[sorted(df.columns)]
