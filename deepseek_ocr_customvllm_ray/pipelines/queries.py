@@ -259,15 +259,37 @@ def q_embedding_knn(sf_dir: str):
 
 def q_top2_docs_per_source(sf_dir: str):
     """Per-group top-k (window-function analog): 2 longest docs per source,
-    deterministic tie-break on doc_id."""
-    import pandas as pd
+    deterministic tie-break on doc_id.  Per-batch local top-2 partials
+    (vectorized lexsort + group-boundary rank) + a tiny driver resolve —
+    the `q_top20_longest_docs` pattern; never funnels a low-cardinality
+    key's whole group into one frame (a 20-value key would cap
+    parallelism at 20 and hold ~1/20 of the corpus per group)."""
 
     ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
 
-    def top2(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(2)
+    def local_top2(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return batch
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        _, codes = np.unique(src.astype(str), return_inverse=True)
+        nc = batch["n_chars"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        did = batch["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, -nc, codes))
+        codes_s = codes[order]
+        new = np.concatenate([[True], codes_s[1:] != codes_s[:-1]])
+        pos = np.arange(len(codes_s))
+        start = pos[new][np.cumsum(new) - 1]
+        return batch.take(pa.array(order[(pos - start) < 2]))
 
-    return ds.groupby("source").map_groups(top2, batch_format="pandas")
+    local = ds.map_batches(local_top2, batch_format="pyarrow").to_pandas()
+    return (
+        local.sort_values(
+            ["source", "n_chars", "doc_id"], ascending=[True, False, True]
+        )
+        .groupby("source", sort=False)
+        .head(2)
+        .reset_index(drop=True)
+    )
 
 
 def q_customers_without_orders(sf_dir: str):
@@ -301,58 +323,68 @@ def q_customers_without_orders(sf_dir: str):
 
 
 def q_source_median_chars(sf_dir: str):
-    """Exact per-group median (sorted in-group; DuckDB median semantics:
-    mean of the two middle values for even counts)."""
+    """Exact per-group median (DuckDB semantics: mean of the two middle
+    values for even counts) via the histogram-refinement grouped-quantile
+    kernel — map-only passes with KB partials, no per-group materialization
+    (the previous map_groups(pandas) held ~1/20 of the corpus per group).
+    The two middle order statistics are rank overrides ((n+1)//2 and
+    n//2+1); their mean is the SQL median."""
     import pandas as pd
 
+    from ..stages.quantiles import grouped_exact_quantiles
+
     ds = _read(sf_dir, "documents", ["source", "n_chars"])
-
-    def med(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"source": [g["source"].iloc[0]], "median_chars": [float(g["n_chars"].median())]}
-        )
-
-    return ds.groupby("source").map_groups(med, batch_format="pandas")
+    tbl = grouped_exact_quantiles(
+        ds,
+        "n_chars",
+        "source",
+        ps=[0.5, 1.0],  # labels only — ranks below select the middle pair
+        ranks=[lambda n: (n + 1) // 2, lambda n: n // 2 + 1],
+    )
+    df = tbl.to_pandas()
+    lo = df[df["p"] == 0.5].set_index("source")["value"].astype(float)
+    hi = df[df["p"] == 1.0].set_index("source")["value"].astype(float)
+    med = (lo + hi) / 2.0
+    return pd.DataFrame({"source": med.index, "median_chars": med.to_numpy()})
 
 
 def q_distinct_langs_per_source(sf_dir: str):
-    """count(DISTINCT lang) per source via per-batch set partials merged in
-    a tiny groupby (mergeable-sketch pattern, exact at this cardinality)."""
+    """count(DISTINCT lang) per source via per-batch distinct-pair partials
+    (np.unique pair factorization — no per-row Python) and a tiny driver
+    resolve: the partial volume is bounded by |sources| x |langs| per
+    batch, not by the corpus."""
     import pandas as pd
 
     ds = _read(sf_dir, "documents", ["source", "lang"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        seen = {}
-        for s, l in zip(batch["source"].to_pylist(), batch["lang"].to_pylist()):
-            seen.setdefault(s, set()).add(l)
-        rows = sorted(seen.items())
+        keep = pc.and_(batch["source"].is_valid(), batch["lang"].is_valid())
+        batch = batch.filter(keep)
+        if not batch.num_rows:
+            return pa.table({
+                "source": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+            })
+        src = batch["source"].to_numpy(zero_copy_only=False).astype(str)
+        lang = batch["lang"].to_numpy(zero_copy_only=False).astype(str)
+        us, si = np.unique(src, return_inverse=True)
+        ul, li = np.unique(lang, return_inverse=True)
+        comb = np.unique(si.astype(np.int64) * len(ul) + li)
         return pa.table({
-            "source": pa.array([r[0] for r in rows], pa.string()),
-            "langs": pa.array([sorted(r[1]) for r in rows], pa.list_(pa.string())),
+            "source": pa.array(us[comb // len(ul)], pa.string()),
+            "lang": pa.array(ul[comb % len(ul)], pa.string()),
         })
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        s = set()
-        for langs in g["langs"]:
-            s.update(langs)
-        return pd.DataFrame(
-            {"source": [g["source"].iloc[0]], "n_langs": [len(s)]}
-        )
-
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("source")
-        .map_groups(merge, batch_format="pandas")
+    pairs = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = (
+        pairs.drop_duplicates()
+        .groupby("source", sort=True)["lang"]
+        .nunique()
     )
-
-    def cast(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "source": batch["source"],
-            "n_langs": batch["n_langs"].cast(pa.int64()),
-        })
-
-    return out.map_batches(cast, batch_format="pyarrow")
+    return pd.DataFrame({
+        "source": n.index,
+        "n_langs": n.to_numpy().astype("int64"),
+    })
 
 
 def q_events_last_order(sf_dir: str):
@@ -620,37 +652,26 @@ def q_events_row_number(sf_dir: str):
 
 def q_events_sessionize(sf_dir: str):
     """Session windows (30-min inactivity gap) per user — the stream-shaped
-    operator (SURVEY §2.10 analog): events as an ordered, partitioned log,
-    windows via groupby(user).map_groups over ts-sorted groups."""
-    import pandas as pd
+    operator (SURVEY §2.10 analog): one crc32(user) exchange, then every
+    partition resolves ALL its users in a single lexsort + boundary-reduceat
+    sweep (stages.windows.sessionize — the key_lag kernel; no per-user
+    Python call or pandas frame)."""
+    from ..stages.windows import sessionize
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
-        sid = gap.cumsum()
-        out = g.groupby(sid).agg(
-            session_start=("ts", "min"),
-            n_events=("ts", "count"),
-            value_cents=("value", lambda v: int(np.floor(v * 100).sum())),
-        )
-        out["user_id"] = g["user_id"].iloc[0]
-        return out.reset_index(drop=True)[
-            ["user_id", "session_start", "n_events", "value_cents"]
-        ]
-
-    out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
-
-    def cast(batch: pa.Table) -> pa.Table:
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(batch["value"], 100.0)), pa.int64())
         return pa.table({
             "user_id": batch["user_id"],
-            "session_start": batch["session_start"],
-            "n_events": batch["n_events"].cast(pa.int64()),
-            "sum_value_cents": batch["value_cents"].cast(pa.int64()),
+            "ts": batch["ts"],
+            "value_cents": cents,
         })
 
-    return out.map_batches(cast, batch_format="pyarrow")
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    return sessionize(
+        prepped, "user_id", "ts", gap_minutes=30, value_cols=["value_cents"]
+    )
 
 
 def q_quality_filter(sf_dir: str):

@@ -290,10 +290,18 @@ def grouped_exact_quantiles(
     n_buckets: int = 2048,
     max_candidates: int = 200_000,
     max_rounds: int = 16,
+    ranks=None,
 ) -> pa.Table:
     """Per-group exact ``percentile_disc``: ``(group, p, value)`` — the
     grouped sibling of :func:`exact_quantiles`, same histogram-refinement
     selection with one (group, p) target per combination.
+
+    ``ranks`` (optional, parallel to ``ps``) overrides the per-group rank:
+    each entry is ``n_group -> 1-indexed rank`` (clamped to [1, n_group]).
+    This expresses order statistics the ``ceil(p*n)`` rule can't — e.g.
+    SQL ``median`` for even groups is the MEAN of ranks ``(n+1)//2`` and
+    ``n//2 + 1``, two targets no single p yields across mixed group sizes.
+    The ``ps`` values then serve only as output labels.
 
     Scale shape: identical map-only passes; the per-batch partial grows to
     one sparse histogram per ACTIVE target, so this is built for modest
@@ -309,6 +317,8 @@ def grouped_exact_quantiles(
     ps = list(ps)
     if not ps or any(not (0.0 < p <= 1.0) for p in ps):
         raise ValueError(f"percentiles must be in (0, 1], got {ps}")
+    if ranks is not None and len(ranks) != len(ps):
+        raise ValueError(f"ranks must parallel ps: {len(ranks)} vs {len(ps)}")
 
     out_type = None
     sch = ds.schema()
@@ -378,7 +388,10 @@ def grouped_exact_quantiles(
         n_g = int(folded["n"].iloc[gi])
         g_neg = int(folded["nneg"].iloc[gi])
         g_fin = n_g - g_neg - int(folded["npos"].iloc[gi])
-        rank[ti] = max(1, math.ceil(ps[pi] * n_g))
+        if ranks is not None:
+            rank[ti] = max(1, min(n_g, int(ranks[pi](n_g))))
+        else:
+            rank[ti] = max(1, math.ceil(ps[pi] * n_g))
         count[ti] = g_fin
         cur_lo[ti] = float(folded["lo"].iloc[gi])
         cur_hi[ti] = float(folded["hi"].iloc[gi])

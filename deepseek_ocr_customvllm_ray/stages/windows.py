@@ -14,11 +14,9 @@ clamped at key starts) — never one Python call per key.
 
 from __future__ import annotations
 
-from typing import List
-from zlib import crc32
+from typing import List, Sequence
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 
@@ -43,29 +41,33 @@ def rolling_time_agg(
         bucket
     ] * 1_000_000_000
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        keys = batch[key_col].to_pylist()
-        part = np.array(
-            [crc32(str(k).encode("utf-8")) % num_partitions for k in keys],
-            dtype=np.int32,
-        )
-        return batch.append_column("_part", pa.array(part, pa.int32()))
+    from .partition import with_hash_partition
 
-    def sweep(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns=["_part"])
-        if not len(df):
-            return df
-        df = df.sort_values([key_col, time_col], kind="mergesort").reset_index(drop=True)
-        # normalize the unit explicitly: Arrow timestamps surface in pandas
-        # as datetime64[s]/[us]/[ns] depending on the upstream, and a bare
-        # astype(int64) would count in whatever unit arrived
-        t = df[time_col].to_numpy().astype("datetime64[ns]").astype("int64") // bucket_ns
-        key_change = np.empty(len(df), dtype=bool)
+    parts = with_hash_partition(ds, key_col, num_partitions)
+
+    def sweep(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tbl = tbl.drop_columns(["_part"])
+        if not tbl.num_rows:
+            fields = list(zip(tbl.schema.names, tbl.schema.types))
+            fields += [("rolling_" + c, pa.int64()) for c in value_cols]
+            return pa.schema(fields).empty_table()
+        keys = tbl[key_col].to_numpy(zero_copy_only=False)
+        # normalize the unit explicitly: Arrow surfaces s/us/ns timestamps
+        # depending on the upstream, and a bare int64 cast would count in
+        # whatever unit arrived
+        t = pc.cast(
+            pc.cast(tbl[time_col], pa.timestamp("ns")), pa.int64()
+        ).to_numpy(zero_copy_only=False) // bucket_ns
+        order = np.lexsort((t, keys))
+        tbl = tbl.take(pa.array(order))
+        keys, t = keys[order], t[order]
+        key_change = np.empty(len(keys), dtype=bool)
         key_change[0] = True
-        kv = df[key_col].to_numpy()
-        key_change[1:] = kv[1:] != kv[:-1]
+        key_change[1:] = keys[1:] != keys[:-1]
         starts = np.flatnonzero(key_change)
-        start_of_row = np.repeat(starts, np.diff(np.append(starts, len(df))))
+        start_of_row = np.repeat(starts, np.diff(np.append(starts, len(keys))))
         # one GLOBALLY sorted search domain for every key at once: offset
         # each key's buckets into a disjoint span (span > max offset +
         # window, so a window's lower bound can never reach the previous
@@ -77,17 +79,91 @@ def rolling_time_agg(
         left = np.maximum(
             np.searchsorted(comb, comb - (window - 1)), start_of_row
         )
-        idx = np.arange(len(df))
+        idx = np.arange(len(keys))
         for c in value_cols:
-            cum = np.concatenate([[0], np.cumsum(df[c].to_numpy(dtype=np.int64))])
-            df["rolling_" + c] = cum[idx + 1] - cum[left]
-        return df
+            v = tbl[c].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            cum = np.concatenate([[0], np.cumsum(v)])
+            tbl = tbl.append_column(
+                "rolling_" + c, pa.array(cum[idx + 1] - cum[left], pa.int64())
+            )
+        return tbl
 
-    return (
-        ds.map_batches(add_part, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(sweep, batch_format="pandas")
-    )
+    return parts.groupby("_part").map_groups(sweep, batch_format="pyarrow")
+
+
+def sessionize(
+    ds,
+    key_col: str,
+    ts_col: str,
+    gap_minutes: int,
+    value_cols: Sequence[str] = (),
+    num_partitions: int = 16,
+):
+    """Session windows per key: a new session starts at a key's first event
+    and whenever the gap to the previous event of the same key EXCEEDS
+    ``gap_minutes`` (strict — SQL's ``ts - lag(ts) OVER w > INTERVAL``
+    idiom).  Returns one row per (key, session):
+    ``(key, session_start, n_events, sum_<col>...)`` with int64 sums over
+    each ``value_cols`` entry (pre-convert floats upstream — e.g. money to
+    integer cents — so the sums stay exact).
+
+    Same shape as :func:`key_lag`: ONE crc32(key) exchange co-locates each
+    key's rows, then every partition resolves ALL its keys in a single
+    lexsort + boundary-``reduceat`` sweep — never one Python call or one
+    pandas frame per key (the per-group-materialization idiom caps
+    parallelism at |keys| and holds a key's whole history in one heap).
+    Session assignment is order-independent for equal timestamps (equal ts
+    ⇒ zero gap ⇒ same session), so the result is deterministic on any
+    cluster shape.
+    """
+    from .partition import with_hash_partition
+
+    if gap_minutes <= 0:
+        raise ValueError(f"gap_minutes must be positive, got {gap_minutes}")
+    gap_us = int(gap_minutes) * 60_000_000
+    parts = with_hash_partition(ds, key_col, num_partitions)
+
+    def sweep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.drop_columns(["_part"])
+        ts_type = t[ts_col].type
+        if pa.types.is_timestamp(ts_type):
+            ts_type = pa.timestamp("us")
+            t = t.set_column(
+                t.schema.get_field_index(ts_col), ts_col,
+                pc.cast(t[ts_col], ts_type),
+            )
+        out_schema = pa.schema(
+            [
+                (key_col, t[key_col].type),
+                ("session_start", ts_type),
+                ("n_events", pa.int64()),
+            ]
+            + [("sum_" + c, pa.int64()) for c in value_cols]
+        )
+        if not t.num_rows:
+            return out_schema.empty_table()
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        ts = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, keys))
+        k_s, t_s = keys[order], ts[order]
+        same_key = np.concatenate([[False], k_s[1:] == k_s[:-1]])
+        delta = np.concatenate([[0], t_s[1:] - t_s[:-1]])
+        new_sess = ~same_key | (delta > gap_us)
+        starts = np.flatnonzero(new_sess)
+        counts = np.diff(np.append(starts, len(t_s)))
+        cols = {
+            key_col: pa.array(k_s[starts], t[key_col].type),
+            "session_start": pa.array(t_s[starts], pa.int64()).cast(ts_type),
+            "n_events": pa.array(counts, pa.int64()),
+        }
+        for c in value_cols:
+            v = t[c].cast(pa.int64()).to_numpy(zero_copy_only=False)[order]
+            cols["sum_" + c] = pa.array(np.add.reduceat(v, starts), pa.int64())
+        return pa.table(cols, schema=out_schema)
+
+    return parts.groupby("_part").map_groups(sweep, batch_format="pyarrow")
 
 
 def key_lag(
