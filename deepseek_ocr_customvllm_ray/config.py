@@ -65,8 +65,9 @@ class ExtractConfig:
     ngram_whitelist: frozenset = field(default_factory=lambda: NGRAM_WHITELIST)
     max_payload_mb: int = MAX_PAYLOAD_MB
     # Byte-length skew bucketing before the OCR stage (SURVEY §4 "Skew"):
-    # when enabled, page rows range-partition on their emission byte-length
-    # bucket so every OCR actor batch holds similarly-sized pages —
+    # when enabled, page rows hash-partition on their (salted) emission
+    # byte-length bucket so every OCR actor batch holds similarly-sized
+    # pages —
     # batch_size x bucket_max bounds per-batch bytes (the vLLM
     # max_num_seqs memory analog).  Costs one page-row all-to-all, so it
     # is OFF for the CPU mock (page explode already equalizes work) and

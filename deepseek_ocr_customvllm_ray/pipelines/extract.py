@@ -98,30 +98,44 @@ def build_extract_pipeline(ds, cfg: ExtractConfig = None, dedup: bool = True,
     )
     pages = ds.map_batches(explode, batch_format="pyarrow")
     if cfg.skew_repartition:
-        # north-star skew handling: range-partition page rows on their
+        # north-star skew handling: hash-partition page rows on a SALTED
         # serialized-byte-length bucket so each OCR actor batch is
-        # size-homogeneous (stages/validate.byte_bucket_column); output
-        # is keyed (url, page_no), so the reorder is semantics-free
+        # size-homogeneous (stages/validate.byte_bucket_column).  Partition
+        # id = bucket * spread + crc32(url) % spread: every partition holds
+        # exactly one bucket (homogeneity) while each bucket fans out over
+        # ``spread`` partitions (parallelism).  A range sort on the bucket
+        # id would collapse to <= len(edges)+1 effective partitions (4
+        # distinct key values) and pay sort sampling; the salted hash
+        # exchange moves the same bytes with neither cost.  Output is keyed
+        # (url, page_no), so the reorder is semantics-free.
+        import pyarrow as _pa
         import pyarrow.compute as _pc
 
+        from ..stages.partition import hash_mod
         from ..stages.validate import byte_bucket_column
 
         edges = tuple(cfg.skew_bucket_edges)
+        n_buckets = len(edges) + 1
+        spread = max(1, cfg.shuffle_partitions // n_buckets)
 
-        def add_bucket(batch):
-            import pyarrow as _pa
-
-            blen = _pc.cast(
-                _pc.binary_length(batch["emission"]), _pa.int64()
+        def add_skew_part(batch):
+            blen = _pc.cast(_pc.binary_length(batch["emission"]), _pa.int64())
+            bucket = byte_bucket_column(blen, edges).to_numpy(
+                zero_copy_only=False
             )
+            salt = hash_mod(batch["url"].to_pylist(), spread)
             return batch.append_column(
-                "_size_bucket", byte_bucket_column(blen, edges)
+                "_skew_part", _pa.array(bucket * spread + salt, _pa.int32())
             )
+
+        def identity_partition(part: "_pa.Table") -> "_pa.Table":
+            return part
 
         pages = (
-            pages.map_batches(add_bucket, batch_format="pyarrow")
-            .sort("_size_bucket")
-            .drop_columns(["_size_bucket"])
+            pages.map_batches(add_skew_part, batch_format="pyarrow")
+            .groupby("_skew_part")
+            .map_groups(identity_partition, batch_format="pyarrow")
+            .drop_columns(["_skew_part"])
         )
     resources = {"num_cpus": 1}
     resources.update(engine_resources or {})

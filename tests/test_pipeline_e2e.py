@@ -502,6 +502,7 @@ def test_skew_repartition_byte_identical(ray_session, corpus, golden):
         .to_pandas().sort_values("url").reset_index(drop=True)
     )
     assert "_size_bucket" not in out.columns
+    assert "_skew_part" not in out.columns
     assert gdf["url"].tolist() == out["url"].tolist()
     for col in ["markdown", "extracted_text", "raw_md", "doc_json", "n_pages"]:
         assert gdf[col].tolist() == out[col].tolist(), col
