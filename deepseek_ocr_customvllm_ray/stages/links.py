@@ -36,7 +36,8 @@ from urllib.parse import urljoin, urlsplit
 import pyarrow as pa
 
 __all__ = ["collect_links", "make_page_links_batch", "page_out_links",
-           "host_edges", "host_in_links"]
+           "host_edges", "host_in_links", "host_pagerank",
+           "host_pagerank_sharded"]
 
 
 # Cap on accumulated anchor-text characters per link: bounds memory on
@@ -342,8 +343,9 @@ def host_pagerank(
     The HOST graph is distinct-host-pair-bounded (~10^7 hosts / ~10^9
     edges for the full web — hundreds of MB), so after the distributed
     edge rollup the power iteration runs as dense numpy on one node: the
-    edge table is collected ONCE (documented ceiling; shard the matvec by
-    dst-hash above it), ranks iterate with link-weighted transition
+    edge table is collected ONCE (documented ceiling; above it use
+    :func:`host_pagerank_sharded`, the dst-hash matvec shard swap —
+    bit-identical ranks), ranks iterate with link-weighted transition
     probabilities and uniform dangling-mass redistribution.  Returns a
     pandas DataFrame (host, rank) summing to 1; deterministic float64.
     """
@@ -374,4 +376,146 @@ def host_pagerank(
         np.add.at(contrib, dst, r[src] * p)
         dangling_mass = r[dangling].sum()
         r = (1.0 - damping) / n + damping * (contrib + dangling_mass / n)
+    return pd.DataFrame({"host": hosts, "rank": r})
+
+
+class _PagerankShard:
+    """Ray actor holding one dst-hash stripe of the host edge list.
+
+    Stripe s owns every edge whose dst index satisfies
+    ``dst % n_shards == s``; the local contrib slot for dst d is
+    ``d // n_shards`` (a perfect stripe, so assembling the full contrib
+    vector is an exact scatter — no cross-shard float addition).  Edges
+    append in global stream order, so each dst's contributions accumulate
+    in EXACTLY the order the dense kernel's ``np.add.at`` visits them —
+    that ordering is what makes the sharded ranks bit-identical.
+    """
+
+    def __init__(self, n_hosts: int, n_shards: int, shard_id: int):
+        self.n_shards = n_shards
+        self.shard_id = shard_id
+        self.stripe_len = (n_hosts - shard_id + n_shards - 1) // n_shards
+        self._src, self._dst_local, self._w = [], [], []
+        self.src = self.dst_local = self.p = None
+
+    def add_edges(self, src_idx, dst_idx, w) -> int:
+        import numpy as np
+
+        self._src.append(np.asarray(src_idx, dtype=np.int64))
+        self._dst_local.append(np.asarray(dst_idx, dtype=np.int64) // self.n_shards)
+        self._w.append(np.asarray(w, dtype=np.float64))
+        return len(src_idx)
+
+    def finalize(self, out_w) -> int:
+        """out_w = global out-weight vector (broadcast once); turns the
+        buffered weights into per-edge transition probabilities."""
+        import numpy as np
+
+        self.src = (
+            np.concatenate(self._src) if self._src else np.empty(0, np.int64)
+        )
+        self.dst_local = (
+            np.concatenate(self._dst_local)
+            if self._dst_local
+            else np.empty(0, np.int64)
+        )
+        w = np.concatenate(self._w) if self._w else np.empty(0, np.float64)
+        self._src = self._dst_local = self._w = None
+        self.p = w / out_w[self.src] if len(w) else w
+        return len(self.src)
+
+    def matvec(self, r):
+        """One power-iteration partial: dense contrib over this stripe."""
+        import numpy as np
+
+        local = np.zeros(self.stripe_len, dtype=np.float64)
+        if len(self.src):
+            np.add.at(local, self.dst_local, r[self.src] * self.p)
+        return local
+
+
+def host_pagerank_sharded(
+    edges_ds, damping: float = 0.85, iters: int = 20, n_shards: int = 4,
+    stream_batch_rows: int = 65_536,
+):
+    """Dst-hash sharded matvec PageRank — :func:`host_pagerank`'s
+    documented swap for edge tables past the one-node collect ceiling.
+    Bit-identical ranks (``np.array_equal``) given the same edge-block
+    order, verified in tests/test_links.py.
+
+    Scale shape: the edge list lives on ``n_shards`` actors (1/n_shards
+    each, striped by ``dst_idx % n_shards``); the driver holds only the
+    O(n_hosts) rank / out-weight vectors (8 B/host — the same ~10^7-host
+    ceiling the dense path's RESULT already implies) and broadcasts the
+    rank vector once per iteration via ``ray.put``.  Loading streams the
+    materialized edge table through the driver one batch at a time
+    (vocabulary pass + index/ship pass); a production variant would write
+    the rolled-up edges as dst-hash-partitioned parquet and let each shard
+    read its stripe directly — the iteration loop is unchanged.
+
+    Exactness: per-dst contributions accumulate in global edge order
+    within each stripe (stable filter of the stream), out-weights are
+    integer-valued float64 sums (order-free), and the rank update and
+    dangling-mass reduction run on the driver with the dense kernel's own
+    expressions — so every float op sequence matches the dense path.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    edges = edges_ds.materialize()
+    # Pass 1 — host vocabulary: per-batch unique partials, tiny driver
+    # np.unique over the (distinct-host-bounded) concatenation.
+    partials = []
+    for b in edges.iter_batches(batch_format="pyarrow",
+                                batch_size=stream_batch_rows):
+        partials.append(np.unique(np.concatenate([
+            np.asarray(b["src_host"].to_pylist(), dtype=object),
+            np.asarray(b["dst_host"].to_pylist(), dtype=object),
+        ])) if b.num_rows else np.empty(0, dtype=object))
+    if not partials or not sum(len(p) for p in partials):
+        return pd.DataFrame({"host": pd.array([], dtype=object),
+                             "rank": pd.array([], dtype="float64")})
+    hosts = np.unique(np.concatenate(partials))
+    n = len(hosts)
+
+    ShardActor = ray.remote(num_cpus=1)(_PagerankShard)
+    shards = [ShardActor.remote(n, n_shards, s) for s in range(n_shards)]
+
+    # Pass 2 — index + ship: stream batches in dataset order, split each
+    # by dst stripe (stable masks preserve per-dst order), accumulate the
+    # global out-weights on the driver (integer-exact in float64).
+    out_w = np.zeros(n, dtype=np.float64)
+    pending = []
+    for b in edges.iter_batches(batch_format="pyarrow",
+                                batch_size=stream_batch_rows):
+        if not b.num_rows:
+            continue
+        src = np.searchsorted(hosts,
+                              np.asarray(b["src_host"].to_pylist(), dtype=object))
+        dst = np.searchsorted(hosts,
+                              np.asarray(b["dst_host"].to_pylist(), dtype=object))
+        w = b["n_links"].to_numpy(zero_copy_only=False).astype(np.float64)
+        np.add.at(out_w, src, w)
+        stripe = dst % n_shards
+        for s in range(n_shards):
+            m = stripe == s
+            if m.any():
+                pending.append(shards[s].add_edges.remote(src[m], dst[m], w[m]))
+    ray.get(pending)
+    out_w_ref = ray.put(out_w)
+    ray.get([s.finalize.remote(out_w_ref) for s in shards])
+
+    r = np.full(n, 1.0 / n, dtype=np.float64)
+    dangling = out_w == 0
+    for _ in range(iters):
+        r_ref = ray.put(r)
+        locals_ = ray.get([s.matvec.remote(r_ref) for s in shards])
+        contrib = np.zeros(n, dtype=np.float64)
+        for s in range(n_shards):
+            contrib[s::n_shards] = locals_[s]
+        dangling_mass = r[dangling].sum()
+        r = (1.0 - damping) / n + damping * (contrib + dangling_mass / n)
+    for s in shards:
+        ray.kill(s)
     return pd.DataFrame({"host": hosts, "rank": r})

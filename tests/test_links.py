@@ -255,3 +255,70 @@ class TestHostPagerank:
         pages = _pages([("https://a.example/1", "<p>no links</p>")])
         pr = host_pagerank(host_edges(page_out_links(rd.from_arrow(pages))))
         assert len(pr) == 0
+
+
+class TestHostPagerankSharded:
+    def _graph(self, n_pages=60, hosts=7):
+        # multi-host graph with a hub, cross-links and a dangling host so
+        # the sharded path exercises every term of the update
+        rows = []
+        for i in range(n_pages):
+            src = f"https://h{i % hosts}.example/p{i}"
+            tgt1 = f"https://h{(i * 3 + 1) % hosts}.example/x"
+            tgt2 = "https://hub.example/x"
+            rows.append((src, f'<a href="{tgt1}">a</a><a href="{tgt2}">b</a>'))
+        rows.append(("https://lonely.example/1",
+                     '<a href="https://dangling.example/x">d</a>'))
+        return _pages(rows)
+
+    def test_bit_identical_vs_dense(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from deepseek_ocr_customvllm_ray.stages.links import (
+            host_edges, host_pagerank, host_pagerank_sharded,
+        )
+
+        edges = host_edges(
+            page_out_links(rd.from_arrow(self._graph()))
+        ).materialize()
+        dense = host_pagerank(edges)
+        for n_shards in (2, 3, 5):
+            sharded = host_pagerank_sharded(edges, n_shards=n_shards)
+            assert sharded["host"].tolist() == dense["host"].tolist(), n_shards
+            assert np.array_equal(
+                sharded["rank"].to_numpy(), dense["rank"].to_numpy()
+            ), n_shards
+
+    def test_bit_identical_small_stream_batches(self, ray_session):
+        """Stripe splitting across many tiny stream batches must preserve
+        per-dst accumulation order (the bit-parity invariant)."""
+        import numpy as np
+        import ray.data as rd
+
+        from deepseek_ocr_customvllm_ray.stages.links import (
+            host_edges, host_pagerank, host_pagerank_sharded,
+        )
+
+        edges = host_edges(
+            page_out_links(rd.from_arrow(self._graph(n_pages=40, hosts=5)))
+        ).materialize()
+        dense = host_pagerank(edges)
+        sharded = host_pagerank_sharded(edges, n_shards=2, stream_batch_rows=3)
+        assert sharded["host"].tolist() == dense["host"].tolist()
+        assert np.array_equal(
+            sharded["rank"].to_numpy(), dense["rank"].to_numpy()
+        )
+
+    def test_empty_graph(self, ray_session):
+        import ray.data as rd
+
+        from deepseek_ocr_customvllm_ray.stages.links import (
+            host_edges, host_pagerank_sharded,
+        )
+
+        pages = _pages([("https://a.example/1", "<p>no links</p>")])
+        pr = host_pagerank_sharded(
+            host_edges(page_out_links(rd.from_arrow(pages))), n_shards=2
+        )
+        assert len(pr) == 0
