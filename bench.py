@@ -121,26 +121,35 @@ def run_bench() -> dict:
 
     n_extracted = None
     if not os.environ.get("GRAFT_HEADLINE_ONLY"):
-        # record BOTH winner-resolution strategies FIRST: "auto" now
-        # resolves to distributed on >=16-CPU clusters (round-3 verdict:
-        # the driver-side local scan lost 1.8x to its own distributed twin
-        # under background contention), so distwinners == the default path
-        # and localwinners keeps the narrow-cluster alternative visible.
+        # record BOTH winner-resolution strategies FIRST, as INTERLEAVED
+        # medians-of-3 (round-4 verdict: single draws in a fixed order
+        # published order-bias artifacts — distwinners ran first and paid
+        # residual ramp-up).  The alternating order cancels window drift;
+        # the medians are the round's evidence for the "auto" default
+        # (round 5: local wins at 32 CPUs, so auto is row-count-gated).
         # Running the variants before the headline also finishes pool
         # ramp-up, so the headline below measures steady state.
         import dataclasses
+        import statistics
 
-        for key, strat in (
-            ("extract_flagship_maponly_distwinners", "distributed"),
-            ("extract_flagship_maponly_localwinners", "local"),
-        ):
-            cfg_v = dataclasses.replace(cfg, winners_strategy=strat)
-            t0 = time.perf_counter()
-            n_v = build_extract_pipeline_maponly(corpus, cfg_v).count()
-            timings[key] = round(time.perf_counter() - t0, 3)
-            if n_extracted is not None:
-                assert n_v == n_extracted, (strat, n_v, n_extracted)
-            n_extracted = n_v
+        variant_samples = {"distributed": [], "local": []}
+        for i in range(3):
+            order = ("distributed", "local") if i % 2 == 0 else (
+                "local", "distributed")
+            for strat in order:
+                cfg_v = dataclasses.replace(cfg, winners_strategy=strat)
+                t0 = time.perf_counter()
+                n_v = build_extract_pipeline_maponly(corpus, cfg_v).count()
+                variant_samples[strat].append(
+                    round(time.perf_counter() - t0, 3))
+                if n_extracted is not None:
+                    assert n_v == n_extracted, (strat, n_v, n_extracted)
+                n_extracted = n_v
+        timings["extract_flagship_maponly_distwinners"] = statistics.median(
+            variant_samples["distributed"])
+        timings["extract_flagship_maponly_localwinners"] = statistics.median(
+            variant_samples["local"])
+        timings["extract_flagship_winners_samples"] = variant_samples
 
     # best-of-2: single-VM fresh sessions vary ~1.5x with worker-pool
     # ramp-up and load decay from the previous run; a real 100 TB job runs

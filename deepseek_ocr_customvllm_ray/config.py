@@ -86,12 +86,13 @@ class ExtractConfig:
     #                 payload-length read either way).
     winners_strategy: str = "auto"
     winners_local_max_rows: int = 10_000_000
-    # "auto" takes the distributed path whenever the cluster has at least
-    # this many CPUs, regardless of row count: a wide cluster amortizes the
-    # tiny meta groupby, and the driver-side scan is the one stage that
-    # competes with co-located background load (round-3 bench recorded it
-    # 1.8x slower than its own distributed twin in a contended window).
-    winners_distributed_min_cpus: int = 16
+    # Row count is the ONLY "auto" signal.  Round 4's CPU-count override
+    # (distributed whenever >= 16 CPUs) was motivated by one contended
+    # round-3 draw; a controlled round-5 rerun (interleaved medians-of-3,
+    # 32 CPUs, steady state) measured local 11.8 s vs distributed 16.0 s
+    # with far lower variance, so the override is gone.  Above
+    # winners_local_max_rows the driver-side resolution stops being
+    # milliseconds and "auto" switches to the distributed groupby.
     # Dedup exchange for the page-exploded/fused pipelines:
     # "broadcast" — meta-only winner resolution over the validated stream +
     #               broadcast filter; payload rows never cross an all-to-all

@@ -246,26 +246,21 @@ def build_extract_pipeline_maponly(
         # parquet footer row count (a metadata-only read).
         strategy = cfg.winners_strategy
         if strategy == "auto":
-            # Prefer the distributed resolution on any cluster wide enough to
-            # amortize its groupby (>= cfg.winners_distributed_min_cpus
-            # cores): the driver-side scan competes with background load on
-            # the driver node while the Ray groupby doesn't (round-3 bench
-            # recorded the local path 1.8x slower than distributed in a
-            # contended window; clean runs measure distributed <= local at
-            # 32 CPUs).  The local path remains the narrow-cluster /
-            # small-input fast path.
-            n_cpus = 0
-            if ray.is_initialized():
-                n_cpus = int(ray.cluster_resources().get("CPU", 0))
-            if n_cpus >= cfg.winners_distributed_min_cpus:
-                strategy = "distributed"
-            else:
-                import pyarrow.dataset as pads
+            # Row count is the only signal (metadata-only parquet-footer
+            # read): below winners_local_max_rows the driver-side pandas
+            # resolution is milliseconds and beats any exchange — a
+            # controlled round-5 rerun (interleaved medians-of-3 at 32
+            # CPUs, steady state) measured the local path 11.8 s vs
+            # distributed 16.0 s end-to-end with far lower variance,
+            # retiring round 4's CPU-count override (which rested on one
+            # contended round-3 draw).  Above the row gate the driver scan
+            # stops being tiny and the Ray groupby takes over.
+            import pyarrow.dataset as pads
 
-                n_rows = pads.dataset(pages_path, format="parquet").count_rows()
-                strategy = (
-                    "local" if n_rows <= cfg.winners_local_max_rows else "distributed"
-                )
+            n_rows = pads.dataset(pages_path, format="parquet").count_rows()
+            strategy = (
+                "local" if n_rows <= cfg.winners_local_max_rows else "distributed"
+            )
         if strategy == "local":
             # per-shard Ray scan tasks project the byte-length validation
             # LOCALLY (payloads never enter the object store; a plain
