@@ -197,37 +197,41 @@ def semantic_dedup(
         ds.map_batches(assign, batch_format="pyarrow"), "cluster", num_partitions
     )
 
-    def resolve(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns=["_part"])
-        if not len(df):
-            return pd.DataFrame({
-                id_col: pd.Series([], dtype="int64"),
-                "cluster": pd.Series([], dtype="int64"),
-                "keep": pd.Series([], dtype="bool"),
-                "dup_of": pd.Series([], dtype="int64"),
-            })
-        out = []
-        for cl, grp in df.groupby("cluster", sort=True):
-            grp = grp.sort_values(id_col, kind="mergesort")
-            ids = grp[id_col].to_numpy()
-            V = np.asarray(grp["_unit"].tolist(), dtype=np.float64)
-            c = len(ids)
-            keep = np.zeros(c, dtype=bool)
-            dup_of = np.full(c, -1, dtype=np.int64)
-            kept_rows: list[int] = []
-            for i in range(c):
+    def resolve(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.schema([
+                (id_col, pa.int64()), ("cluster", pa.int64()),
+                ("keep", pa.bool_()), ("dup_of", pa.int64()),
+            ]).empty_table()
+        ids_all = part[id_col].to_numpy(zero_copy_only=False)
+        cl_all = part["cluster"].to_numpy(zero_copy_only=False)
+        V_all = np.asarray(part["_unit"].to_pylist(), dtype=np.float64)
+        order = np.lexsort((ids_all, cl_all))
+        ids_s, cl_s, V_s = ids_all[order], cl_all[order], V_all[order]
+        n = len(ids_s)
+        keep = np.zeros(n, dtype=bool)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        new_cl = np.empty(n, dtype=bool)
+        new_cl[0] = True
+        new_cl[1:] = cl_s[1:] != cl_s[:-1]
+        starts = np.flatnonzero(new_cl)
+        for s, e in zip(starts, np.append(starts[1:], n)):
+            ids, V = ids_s[s:e], V_s[s:e]
+            kept_rows: list = []
+            for i in range(e - s):
                 if kept_rows:
                     sims = V[kept_rows] @ V[i]
                     j = int(np.argmax(sims))  # first max -> lowest kept id
                     if sims[j] > threshold:
-                        dup_of[i] = ids[kept_rows[j]]
+                        dup_of[s + i] = ids[kept_rows[j]]
                         continue
-                keep[i] = True
+                keep[s + i] = True
                 kept_rows.append(i)
-            out.append(pd.DataFrame({
-                id_col: ids, "cluster": np.full(c, cl, dtype=np.int64),
-                "keep": keep, "dup_of": dup_of,
-            }))
-        return pd.concat(out, ignore_index=True)
+        return pa.table({
+            id_col: pa.array(ids_s, pa.int64()),
+            "cluster": pa.array(cl_s, pa.int64()),
+            "keep": pa.array(keep, pa.bool_()),
+            "dup_of": pa.array(dup_of, pa.int64()),
+        })
 
-    return labeled.groupby("_part").map_groups(resolve, batch_format="pandas")
+    return labeled.groupby("_part").map_groups(resolve, batch_format="pyarrow")

@@ -187,30 +187,41 @@ def _empty_pairs_df() -> pd.DataFrame:
     })
 
 
-def _pairs_from_band(group: pd.DataFrame) -> pd.DataFrame:
+def _pairs_from_band_arrays(ids: np.ndarray, sigs: np.ndarray):
     """Candidate pairs within one (band_no, band_key) bucket; emits each pair
-    once with a<b.  Hot buckets (all-identical boilerplate) fall back to a
-    STAR pairing against the bucket-minimum id — O(n) pairs instead of
-    O(n^2), and every member stays connected to the cluster root (a
-    truncating cap would silently report members beyond it as unique)."""
-    ids = sorted(set(group["id"].tolist()))
-    if len(ids) < 2:
-        return _empty_pairs_df()
+    once with a<b.  ``ids`` must be ascending (repeats allowed — a doc's
+    signature is deterministic, so any occurrence's sig works); ``sigs`` is
+    aligned.  Hot buckets (all-identical boilerplate) fall back to a STAR
+    pairing against the bucket-minimum id — O(n) pairs instead of O(n^2),
+    and every member stays connected to the cluster root (a truncating cap
+    would silently report members beyond it as unique)."""
+    first = np.empty(len(ids), dtype=bool)
+    first[0] = True
+    first[1:] = ids[1:] != ids[:-1]
+    u_ids, u_sigs = ids[first], sigs[first]
+    k = len(u_ids)
+    if k < 2:
+        return [], [], [], []
     cap = 200  # quadratic-blowup guard for degenerate buckets
-    sig_of = {}
-    for i, s in zip(group["id"], group["sig"]):
-        sig_of.setdefault(i, s)
-    a_l, b_l, sa, sb = [], [], [], []
-    if len(ids) <= cap:
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                a_l.append(ids[x]); b_l.append(ids[y])
-                sa.append(sig_of[ids[x]]); sb.append(sig_of[ids[y]])
+    if k <= cap:
+        xi, yi = np.triu_indices(k, k=1)
     else:
-        root = ids[0]
-        for y in ids[1:]:
-            a_l.append(root); b_l.append(y)
-            sa.append(sig_of[root]); sb.append(sig_of[y])
+        xi = np.zeros(k - 1, dtype=np.int64)
+        yi = np.arange(1, k, dtype=np.int64)
+    return (u_ids[xi].tolist(), u_ids[yi].tolist(),
+            u_sigs[xi].tolist(), u_sigs[yi].tolist())
+
+
+def _pairs_from_band(group: pd.DataFrame) -> pd.DataFrame:
+    """Pandas wrapper over :func:`_pairs_from_band_arrays` — the per-bucket
+    entry point the serial reference (tests/local_reference.py) maps over
+    its bucket groups."""
+    ids = group["id"].to_numpy().astype(np.int64)
+    sigs = np.asarray(group["sig"].tolist(), dtype=object)
+    order = np.argsort(ids, kind="stable")
+    a_l, b_l, sa, sb = _pairs_from_band_arrays(ids[order], sigs[order])
+    if not a_l:
+        return _empty_pairs_df()
     return pd.DataFrame({"id_a": a_l, "id_b": b_l, "sig_a": sa, "sig_b": sb})
 
 
@@ -258,12 +269,33 @@ def minhash_candidate_pairs(
             "_bkey", pa.array((bno << np.int64(32)) | bkey, pa.int64())
         )
 
-    def pairs_from_partition(df: pd.DataFrame) -> pd.DataFrame:
-        frames = [
-            _pairs_from_band(g)
-            for _, g in df.groupby(["band_no", "band_key"], sort=False)
-        ]
-        return pd.concat(frames, ignore_index=True) if frames else _empty_pairs_df()
+    _PAIRS_SCHEMA = pa.schema([
+        ("id_a", pa.int64()), ("id_b", pa.int64()),
+        ("sig_a", pa.binary()), ("sig_b", pa.binary()),
+    ])
+
+    def pairs_from_partition(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _PAIRS_SCHEMA.empty_table()
+        bk = part["_bkey"].to_numpy(zero_copy_only=False)
+        ids = part["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sigs = np.asarray(part["sig"].to_pylist(), dtype=object)
+        order = np.lexsort((ids, bk))
+        bk_s, ids_s, sigs_s = bk[order], ids[order], sigs[order]
+        new_b = np.empty(len(bk_s), dtype=bool)
+        new_b[0] = True
+        new_b[1:] = bk_s[1:] != bk_s[:-1]
+        starts = np.flatnonzero(new_b)
+        a_l, b_l, sa, sb = [], [], [], []
+        for s, e in zip(starts, np.append(starts[1:], len(bk_s))):
+            a, b, x, y = _pairs_from_band_arrays(ids_s[s:e], sigs_s[s:e])
+            a_l += a; b_l += b; sa += x; sb += y
+        return pa.table({
+            "id_a": pa.array(a_l, pa.int64()),
+            "id_b": pa.array(b_l, pa.int64()),
+            "sig_a": pa.array(sa, pa.binary()),
+            "sig_b": pa.array(sb, pa.binary()),
+        })
 
     pairs = (
         with_hash_partition_int(
@@ -272,7 +304,7 @@ def minhash_candidate_pairs(
             num_partitions,
         )
         .groupby("_part")
-        .map_groups(pairs_from_partition, batch_format="pandas")
+        .map_groups(pairs_from_partition, batch_format="pyarrow")
     )
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -364,23 +396,31 @@ def propagate_min_labels(pairs_ds, num_partitions: int = 16, max_rounds: int = 3
             "label": batch["label"],
         })
 
-    def pjoin(df: pd.DataFrame) -> pd.DataFrame:
-        lab = df[df["label"].notna()][["key", "label"]]
-        ed = df[df["dst"].notna()][["key", "dst"]]
-        sent = ed.merge(lab, on="key", how="inner")[["dst", "label"]]
-        out = pd.concat(
-            [lab.rename(columns={"key": "node"}), sent.rename(columns={"dst": "node"})]
-        )
-        return pd.DataFrame({
-            "node": out["node"].astype("int64"),
-            "label": out["label"].astype("int64"),
+    def pjoin(part: pa.Table) -> pa.Table:
+        # inner join of edge rows with label rows on key, all-numpy: label
+        # keys are unique within the exchange (one label row per node), so
+        # a sorted searchsorted probe replaces the hash merge
+        lab = part.filter(pc.is_valid(part["label"]))
+        ed = part.filter(pc.is_valid(part["dst"]))
+        lk = lab["key"].to_numpy(zero_copy_only=False)
+        lv = lab["label"].to_numpy(zero_copy_only=False)
+        node = lk
+        label = lv
+        if ed.num_rows and len(lk):
+            order = np.argsort(lk)
+            lk_s, lv_s = lk[order], lv[order]
+            ek = ed["key"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(lk_s, ek)
+            ok = pos < len(lk_s)
+            ok[ok] = lk_s[pos[ok]] == ek[ok]
+            node = np.concatenate(
+                [lk, ed["dst"].to_numpy(zero_copy_only=False)[ok]]
+            )
+            label = np.concatenate([lv, lv_s[pos[ok]]])
+        return pa.table({
+            "node": pa.array(node.astype(np.int64), pa.int64()),
+            "label": pa.array(label.astype(np.int64), pa.int64()),
         })
-
-    def as_arrow(batch: pa.Table) -> pa.Table:
-        # normalize block type: pandas map_groups output must not mix with
-        # arrow blocks in a downstream union/groupby (Ray's sort sampler
-        # asserts homogeneous block types)
-        return batch
 
     def tag_shortcut(batch: pa.Table) -> pa.Table:
         # label row (node, l) re-enters as edge l -> node: node then
@@ -402,8 +442,7 @@ def propagate_min_labels(pairs_ds, num_partitions: int = 16, max_rounds: int = 3
         labels = (
             with_hash_partition_int(u, "key", num_partitions)
             .groupby("_part")
-            .map_groups(pjoin, batch_format="pandas")
-            .map_batches(as_arrow, batch_format="pyarrow")
+            .map_groups(pjoin, batch_format="pyarrow")
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
             .materialize()
@@ -592,43 +631,73 @@ def ngram_jaccard_verify(
     docs = ds.map_batches(shingles_batch, batch_format="pyarrow")
     sides = pairs.map_batches(side_rows, batch_format="pyarrow")
 
-    def attach(df: pd.DataFrame) -> pd.DataFrame:
-        has_sh = df["sh"].notna()
-        sh_of = dict(zip(df.loc[has_sh, "key"], df.loc[has_sh, "sh"]))
-        side = df[~has_sh]
-        mapped = side["key"].map(sh_of)
-        # an endpoint id absent from the corpus maps to NaN — drop that side
-        # row here so score_pairs sees a one-sided (skippable) pair instead
-        # of crashing on uint64(NaN)
-        present = mapped.notna()
-        side = side[present]
-        return pd.DataFrame({
-            "id_a": side["id_a"].astype("int64"),
-            "id_b": side["id_b"].astype("int64"),
-            "is_a_side": (side["key"] == side["id_a"]).astype("bool"),
-            "sh": mapped[present],
+    _ATTACH_SCHEMA = pa.schema([
+        ("id_a", pa.int64()), ("id_b", pa.int64()),
+        ("is_a_side", pa.bool_()), ("sh", sh_type),
+    ])
+
+    def attach(part: pa.Table) -> pa.Table:
+        # join side rows to their endpoint's shingle set: doc keys are
+        # unique (one corpus row per id), so a sorted searchsorted probe +
+        # pc.take on the LIST column replaces the dict map — the ragged
+        # shingle buffers are never converted to Python
+        has_sh = pc.is_valid(part["sh"])
+        docs_t = part.filter(has_sh)
+        side_t = part.filter(pc.invert(has_sh))
+        if side_t.num_rows == 0 or docs_t.num_rows == 0:
+            return _ATTACH_SCHEMA.empty_table()
+        dk = docs_t["key"].to_numpy(zero_copy_only=False)
+        order = np.argsort(dk)
+        dk_s = dk[order]
+        sk = side_t["key"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(dk_s, sk)
+        ok = pos < len(dk_s)
+        # an endpoint id absent from the corpus has no match — drop that
+        # side row here so score_pairs sees a one-sided (skippable) pair
+        ok[ok] = dk_s[pos[ok]] == sk[ok]
+        kept = side_t.filter(pa.array(ok))
+        doc_ix = order[pos[ok]]
+        return pa.table({
+            "id_a": kept["id_a"],
+            "id_b": kept["id_b"],
+            "is_a_side": pc.equal(kept["key"], kept["id_a"]),
+            "sh": pc.take(docs_t["sh"], pa.array(doc_ix, pa.int64())),
         })
 
     step1 = (
         with_hash_partition_int(docs.union(sides), "key", num_partitions)
         .groupby("_part")
-        .map_groups(attach, batch_format="pandas")
+        .map_groups(attach, batch_format="pyarrow")
     )
 
-    def score_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    _SCORE_SCHEMA = pa.schema([
+        ("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64()),
+    ])
+
+    def score_pairs(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _SCORE_SCHEMA.empty_table()
+        a = part["id_a"].to_numpy(zero_copy_only=False)
+        b = part["id_b"].to_numpy(zero_copy_only=False)
+        is_a = part["is_a_side"].to_numpy(zero_copy_only=False)
+        sh_col = part["sh"].combine_chunks()
+        values = sh_col.values.to_numpy(zero_copy_only=False)
+        offsets = sh_col.offsets.to_numpy(zero_copy_only=False)
+        order = np.lexsort((is_a, b, a))
+        a_s, b_s, is_a_s = a[order], b[order], is_a[order]
+        new_p = np.empty(len(a_s), dtype=bool)
+        new_p[0] = True
+        new_p[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+        starts = np.flatnonzero(new_p)
         out_a, out_b, out_j = [], [], []
-        for (ia, ib), g in df.groupby(["id_a", "id_b"]):
-            sh_a = sh_b = None
-            has_a = has_b = False
-            for is_a, sh in zip(g["is_a_side"], g["sh"]):
-                if is_a:
-                    sh_a, has_a = sh, True
-                else:
-                    sh_b, has_b = sh, True
-            if not (has_a and has_b):
+        for s, e in zip(starts, np.append(starts[1:], len(a_s))):
+            rows_a = [i for i in range(s, e) if is_a_s[i]]
+            rows_b = [i for i in range(s, e) if not is_a_s[i]]
+            if not rows_a or not rows_b:
                 continue  # an endpoint was absent from the corpus: drop pair
-            sa = np.asarray(sh_a, dtype=np.uint64)
-            sb = np.asarray(sh_b, dtype=np.uint64)
+            ra, rb = order[rows_a[-1]], order[rows_b[-1]]
+            sa = values[offsets[ra]:offsets[ra + 1]].astype(np.uint64)
+            sb = values[offsets[rb]:offsets[rb + 1]].astype(np.uint64)
             if sa.size == 0 and sb.size == 0:
                 j = 1.0
             elif sa.size == 0 or sb.size == 0:
@@ -637,11 +706,12 @@ def ngram_jaccard_verify(
                 inter = np.intersect1d(sa, sb, assume_unique=True).size
                 j = inter / (sa.size + sb.size - inter)
             if j >= threshold:
-                out_a.append(int(ia)); out_b.append(int(ib)); out_j.append(float(j))
-        return pd.DataFrame({
-            "id_a": pd.Series(out_a, dtype="int64"),
-            "id_b": pd.Series(out_b, dtype="int64"),
-            "jaccard": pd.Series(out_j, dtype="float64"),
+                out_a.append(int(a_s[s])); out_b.append(int(b_s[s]))
+                out_j.append(float(j))
+        return pa.table({
+            "id_a": pa.array(out_a, pa.int64()),
+            "id_b": pa.array(out_b, pa.int64()),
+            "jaccard": pa.array(out_j, pa.float64()),
         })
 
     def pair_key(batch: pa.Table) -> pa.Table:
@@ -666,7 +736,7 @@ def ngram_jaccard_verify(
             batch_format="pyarrow",
         )
         .groupby("_part")
-        .map_groups(score_pairs, batch_format="pandas")
+        .map_groups(score_pairs, batch_format="pyarrow")
     )
     return out
 
@@ -699,26 +769,37 @@ def _dedup_pairs_ds(pairs_ds, value_col: str, value_type, num_partitions: int = 
             "_part", pa.array((mixed % np.uint64(num_partitions)).astype(np.int32), pa.int32())
         )
 
-    def drop(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby(["id_a", "id_b"], as_index=False)[value_col].min()
-        return pd.DataFrame({
-            "id_a": out["id_a"].astype("int64"),
-            "id_b": out["id_b"].astype("int64"),
-            value_col: out[value_col],
+    def drop(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return schema.empty_table()
+        a = part["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = part["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = part[value_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, b, a))
+        a_s, b_s, v_s = a[order], b[order], v[order]
+        first = np.empty(len(a_s), dtype=bool)
+        first[0] = True
+        first[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+        # v is the innermost sort key, so the first row of each (a, b)
+        # group carries the group minimum
+        return pa.table({
+            "id_a": pa.array(a_s[first], pa.int64()),
+            "id_b": pa.array(b_s[first], pa.int64()),
+            value_col: pa.array(v_s[first]).cast(value_type),
         })
-
-    import ray.data as rd
 
     deduped = (
         pairs_ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("_part")
-        .map_groups(drop, batch_format="pandas")
+        .map_groups(drop, batch_format="pyarrow")
         .map_batches(
             lambda t: t.select(schema.names).cast(schema), batch_format="pyarrow"
         )
         .materialize()
     )
     if deduped.count() == 0:
+        import ray.data as rd
+
         return rd.from_arrow(schema.empty_table())
     return deduped
 
@@ -795,18 +876,43 @@ def simhash_near_dup_pairs(
             "sim": pa.array(np.repeat(sim, 4), pa.int64()),
         })
 
-    def pairs_from_partition(df: pd.DataFrame) -> pd.DataFrame:
+    _HAM_SCHEMA = pa.schema([
+        ("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int64()),
+    ])
+
+    def pairs_from_partition(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _HAM_SCHEMA.empty_table()
+        bk = part["_bkey"].to_numpy(zero_copy_only=False)
+        ids = part["id"].to_numpy(zero_copy_only=False)
+        sim = part["sim"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sim, ids, bk))
+        bk_s, ids_s, sim_s = bk[order], ids[order], sim[order]
+        n = len(bk_s)
+        # unique (bucket, id, sim) rows — a doc's simhash is deterministic,
+        # so this is the sorted(set(zip(id, sim))) of the per-bucket slice
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = (
+            (bk_s[1:] != bk_s[:-1]) | (ids_s[1:] != ids_s[:-1])
+            | (sim_s[1:] != sim_s[:-1])
+        )
+        bk_u, ids_u, sim_u = bk_s[first], ids_s[first], sim_s[first]
+        new_b = np.empty(len(bk_u), dtype=bool)
+        new_b[0] = True
+        new_b[1:] = bk_u[1:] != bk_u[:-1]
+        starts = np.flatnonzero(new_b)
         a_l, b_l, h_l = [], [], []
-        for _, g in df.groupby("_bkey", sort=False):
-            rows = sorted(set(zip(g["id"], g["sim"])))
-            if len(rows) < 2:
+        for s, e in zip(starts, np.append(starts[1:], len(bk_u))):
+            if e - s < 2:
                 continue
+            rows = list(zip(ids_u[s:e].tolist(), sim_u[s:e].tolist()))
             a, b, h = _simhash_pairs_in_bucket(rows, max_hamming)
             a_l.extend(a); b_l.extend(b); h_l.extend(h)
-        return pd.DataFrame({
-            "id_a": pd.Series(a_l, dtype="int64"),
-            "id_b": pd.Series(b_l, dtype="int64"),
-            "hamming": pd.Series(h_l, dtype="int64"),
+        return pa.table({
+            "id_a": pa.array(a_l, pa.int64()),
+            "id_b": pa.array(b_l, pa.int64()),
+            "hamming": pa.array(h_l, pa.int64()),
         })
 
     from .partition import with_hash_partition_int
@@ -818,7 +924,7 @@ def simhash_near_dup_pairs(
             num_partitions,
         )
         .groupby("_part")
-        .map_groups(pairs_from_partition, batch_format="pandas")
+        .map_groups(pairs_from_partition, batch_format="pyarrow")
     )
     return _dedup_pairs_ds(pairs, "hamming", pa.int64(), num_partitions)
 
@@ -918,20 +1024,35 @@ def embedding_near_dup_pairs(
 
     bucketized = ds.map_batches(bucketize, batch_format="pyarrow").materialize()
 
-    def pairs_from_partition(df: pd.DataFrame, bucket_col: str) -> pd.DataFrame:
+    _COS_SCHEMA = pa.schema([
+        ("id_a", pa.int64()), ("id_b", pa.int64()), ("cosine", pa.float64()),
+    ])
+
+    def pairs_from_partition(part: pa.Table, bucket_col: str) -> pa.Table:
+        if part.num_rows == 0:
+            return _COS_SCHEMA.empty_table()
+        from ..functions.vectors import to_matrix
+
+        bk = part[bucket_col].to_numpy(zero_copy_only=False)
+        ids = part["id"].to_numpy(zero_copy_only=False)
+        mat = to_matrix(part["unit_vec"])
+        order = np.lexsort((ids, bk))
+        bk_s, ids_s, mat_s = bk[order], ids[order], mat[order]
+        new_b = np.empty(len(bk_s), dtype=bool)
+        new_b[0] = True
+        new_b[1:] = bk_s[1:] != bk_s[:-1]
+        starts = np.flatnonzero(new_b)
         a_l, b_l, c_l = [], [], []
-        for _, g in df.groupby(bucket_col, sort=False):
-            if len(g) < 2:
+        for s, e in zip(starts, np.append(starts[1:], len(bk_s))):
+            if e - s < 2:
                 continue
-            g = g.sort_values("id")
-            ids = g["id"].to_numpy()
-            mat = np.stack(g["unit_vec"].to_numpy())
-            a, b, c = _cosine_pairs_in_bucket(ids.tolist(), mat, threshold)
+            a, b, c = _cosine_pairs_in_bucket(
+                ids_s[s:e].tolist(), mat_s[s:e], threshold)
             a_l.extend(a); b_l.extend(b); c_l.extend(c)
-        return pd.DataFrame({
-            "id_a": pd.Series(a_l, dtype="int64"),
-            "id_b": pd.Series(b_l, dtype="int64"),
-            "cosine": pd.Series(c_l, dtype="float64"),
+        return pa.table({
+            "id_a": pa.array(a_l, pa.int64()),
+            "id_b": pa.array(b_l, pa.int64()),
+            "cosine": pa.array(c_l, pa.float64()),
         })
 
     import functools
@@ -943,7 +1064,7 @@ def embedding_near_dup_pairs(
             .groupby("_part")
             .map_groups(
                 functools.partial(pairs_from_partition, bucket_col=bucket_col),
-                batch_format="pandas",
+                batch_format="pyarrow",
             )
         )
     return _dedup_pairs_ds(

@@ -66,15 +66,16 @@ def make_pair_partial(text_col: str, id_col: str):
     return fn
 
 
-def _build_partition(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.drop(columns=["_part"])
-    if not len(df):
-        return pd.DataFrame({"token": pd.Series([], dtype=object),
-                             "df": pd.Series([], dtype=np.int64),
-                             "postings": pd.Series([], dtype=object)})
-    order = np.lexsort((df["doc_id"].to_numpy(), df["token"].to_numpy(dtype=object)))
-    tok = df["token"].to_numpy(dtype=object)[order]
-    ids = df["doc_id"].to_numpy()[order]
+def _build_partition(part: "pa.Table") -> "pa.Table":
+    part = part.drop_columns(["_part"])
+    if part.num_rows == 0:
+        return pa.schema([("token", pa.string()), ("df", pa.int64()),
+                          ("postings", pa.string())]).empty_table()
+    tok_all = np.asarray(part["token"].to_pylist(), dtype=object)
+    ids_all = part["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids_all, tok_all))
+    tok = tok_all[order]
+    ids = ids_all[order]
     first = np.empty(len(tok), dtype=bool)
     first[0] = True
     first[1:] = tok[1:] != tok[:-1]
@@ -94,10 +95,10 @@ def _build_partition(df: pd.DataFrame) -> pd.DataFrame:
     lists = pa.ListArray.from_arrays(
         pa.array(np.concatenate([[0], np.cumsum(lens_k)]), pa.int32()), id_strs
     )
-    postings = pc.binary_join(lists, ",").to_pylist()
-    return pd.DataFrame({
-        "token": tok_k[starts_k],
-        "df": lens_k.astype(np.int64),
+    postings = pc.binary_join(lists, ",")
+    return pa.table({
+        "token": pa.array(tok_k[starts_k], pa.string()),
+        "df": pa.array(lens_k.astype(np.int64), pa.int64()),
         "postings": postings,
     })
 
@@ -116,7 +117,7 @@ def inverted_index(ds, text_col: str, id_col: str, num_partitions: int = 32):
         ds.map_batches(make_pair_partial(text_col, id_col), batch_format="pyarrow")
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("_part")
-        .map_groups(_build_partition, batch_format="pandas")
+        .map_groups(_build_partition, batch_format="pyarrow")
     )
 
 

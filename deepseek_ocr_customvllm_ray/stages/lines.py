@@ -213,10 +213,10 @@ def paragraph_dedup(
     thin = ds.map_batches(explode, batch_format="pyarrow")
     parts = with_hash_partition_int(thin, "h", num_partitions)
 
-    def losers(df: pd.DataFrame) -> pd.DataFrame:
-        h = df["h"].to_numpy()
-        d = df["doc_id"].to_numpy()
-        i = df["idx"].to_numpy()
+    def losers(part: pa.Table) -> pa.Table:
+        h = part["h"].to_numpy(zero_copy_only=False)
+        d = part["doc_id"].to_numpy(zero_copy_only=False)
+        i = part["idx"].to_numpy(zero_copy_only=False)
         order = np.lexsort((i, d, h))
         hs = h[order]
         first = np.empty(len(hs), dtype=bool)
@@ -224,13 +224,13 @@ def paragraph_dedup(
             first[0] = True
             first[1:] = hs[1:] != hs[:-1]
         lose = order[~first]
-        return pd.DataFrame({
-            "doc_id": d[lose].astype(np.int64),
-            "idx": i[lose].astype(np.int64),
+        return pa.table({
+            "doc_id": pa.array(d[lose].astype(np.int64), pa.int64()),
+            "idx": pa.array(i[lose].astype(np.int64), pa.int64()),
         })
 
     # Duplicate-occurrence coordinates only — the thin side of the corpus.
-    drop_ds = parts.groupby("_part").map_groups(losers, batch_format="pandas")
+    drop_ds = parts.groupby("_part").map_groups(losers, batch_format="pyarrow")
 
     if strategy == "broadcast":
         import ray

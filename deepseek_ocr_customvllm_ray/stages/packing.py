@@ -103,19 +103,24 @@ def pack_sequences(
             "_part": pa.array((rng % num_partitions).astype(np.int32)),
         })
 
-    def pack_partition(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame({
-                "seq_id": pd.array([], dtype="int64"),
-                "doc_ids": pd.array([], dtype="object"),
-                "n_docs": pd.array([], dtype="int64"),
-                "total_tokens": pd.array([], dtype="int64"),
-                "truncated": pd.array([], dtype="bool"),
-            })
-        order = np.lexsort((df["doc_id"].to_numpy(), df["range_id"].to_numpy()))
-        ids = df["doc_id"].to_numpy()[order]
-        toks = df["n_tokens"].to_numpy()[order]
-        rngs = df["range_id"].to_numpy()[order]
+    _OUT_SCHEMA = pa.schema([
+        ("seq_id", pa.int64()),
+        ("doc_ids", pa.string()),
+        ("n_docs", pa.int64()),
+        ("total_tokens", pa.int64()),
+        ("truncated", pa.bool_()),
+    ])
+
+    def pack_partition(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _OUT_SCHEMA.empty_table()
+        doc_id = part["doc_id"].to_numpy(zero_copy_only=False)
+        n_tokens = part["n_tokens"].to_numpy(zero_copy_only=False)
+        range_id = part["range_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc_id, range_id))
+        ids = doc_id[order]
+        toks = n_tokens[order]
+        rngs = range_id[order]
         out = {"seq_id": [], "doc_ids": [], "n_docs": [], "total_tokens": [],
                "truncated": []}
         bounds = np.flatnonzero(np.diff(rngs)) + 1
@@ -131,7 +136,7 @@ def pack_sequences(
                 out["n_docs"].append(len(sids))
                 out["total_tokens"].append(tot)
                 out["truncated"].append(trunc)
-        return pd.DataFrame(out)
+        return pa.table(out, schema=_OUT_SCHEMA)
 
     thin = ds.map_batches(project, batch_format="pyarrow")
-    return thin.groupby("_part").map_groups(pack_partition, batch_format="pandas")
+    return thin.groupby("_part").map_groups(pack_partition, batch_format="pyarrow")
