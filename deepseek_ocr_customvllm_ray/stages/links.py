@@ -463,6 +463,17 @@ def host_pagerank_sharded(
     import pandas as pd
     import ray
 
+    # Deadlock guard: n_shards dedicated CPUs on a cluster with fewer
+    # total CPUs can never all schedule, and the first ray.get would wait
+    # forever.  Shards are memory-resident with bursty matvec compute, so
+    # on small clusters request fractional CPUs (half the cluster spread
+    # over all shards) instead of refusing; at scale (CPUs >> n_shards)
+    # each shard still gets a dedicated core.
+    total_cpus = ray.cluster_resources().get("CPU", float(n_shards))
+    shard_cpus = 1.0 if total_cpus >= 2 * n_shards else max(
+        0.05, round(total_cpus / (2 * n_shards), 2)
+    )
+
     edges = edges_ds.materialize()
     # Pass 1 — host vocabulary: per-batch unique partials, tiny driver
     # np.unique over the (distinct-host-bounded) concatenation.
@@ -479,7 +490,7 @@ def host_pagerank_sharded(
     hosts = np.unique(np.concatenate(partials))
     n = len(hosts)
 
-    ShardActor = ray.remote(num_cpus=1)(_PagerankShard)
+    ShardActor = ray.remote(num_cpus=shard_cpus)(_PagerankShard)
     shards = [ShardActor.remote(n, n_shards, s) for s in range(n_shards)]
 
     # Pass 2 — index + ship: stream batches in dataset order, split each

@@ -5,8 +5,11 @@ from __future__ import annotations
 import pytest
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture(scope="session", autouse=True)
 def ray_session():
+    # autouse: pin the session to 4 CPUs BEFORE any test can trigger
+    # Ray Data's auto-init (which would grab every host CPU and make the
+    # suite's resource envelope depend on test ordering).
     import ray
 
     if not ray.is_initialized():
