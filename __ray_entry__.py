@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_frequencies": q.q_bigram_frequencies,
         "bm25_topk": q.q_bm25_topk,
         "compression_ratio": q.q_compression_ratio,
+        "bigram_lm_perplexity": q.q_bigram_lm_perplexity,
         "weighted_sample": q.q_weighted_sample,
         "pack_sequences": q.q_pack_sequences,
     }
@@ -516,6 +517,31 @@ def oracle_sql() -> dict[str, str]:
             "pairs AS (SELECT t[i] || ' ' || t[i+1] AS pair FROM gidx) "
             "SELECT pair, count(*) AS n FROM pairs "
             "GROUP BY pair ORDER BY n DESC, pair LIMIT 50"
+        ),
+        "bigram_lm_perplexity": (
+            # parenthesization mirrors stages/lm.py exactly: the bigram
+            # log-prob ln((cb + 0.5e0) / (cu + 0.5e0 * v)) over exact-int
+            # counts, quantized floor(lp * 2^20 + 0.5) -> BIGINT so the
+            # per-doc sum is order-free and engine-exact (e0 suffixes:
+            # DuckDB must parse DOUBLE, not DECIMAL)
+            "WITH toks AS (SELECT doc_id, string_split_regex(trim(text, "
+            "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), "
+            "'\\s+') AS t FROM documents WHERE trim(text, ' ' || chr(9) "
+            "|| chr(10) || chr(11) || chr(12) || chr(13)) <> ''), "
+            "uni AS (SELECT tok, count(*) AS cu FROM "
+            "(SELECT unnest(t) AS tok FROM toks) GROUP BY tok), "
+            "vs AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni), "
+            "bp AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM "
+            "(SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) "
+            "AS i FROM toks)), "
+            "big AS (SELECT w1, w2, count(*) AS cb FROM bp GROUP BY w1, w2), "
+            "scored AS (SELECT bp.doc_id, CAST(floor(ln((cb + 0.5e0) / "
+            "(cu + 0.5e0 * v)) * 1048576.0e0 + 0.5e0) AS BIGINT) AS q "
+            "FROM bp JOIN big USING (w1, w2) "
+            "JOIN uni ON uni.tok = bp.w1 CROSS JOIN vs) "
+            "SELECT doc_id, count(*) AS n_bigrams, "
+            "CAST(sum(q) AS BIGINT) AS lp_q20 "
+            "FROM scored GROUP BY doc_id"
         ),
         "weighted_sample": (
             # Efraimidis-Spirakis: u exact (13 hex chars / 2^52), key =

@@ -239,6 +239,7 @@ def run_bench() -> dict:
     timed("winsorize_lengths", q.q_winsorize_lengths)
     timed("events_lag", q.q_events_lag)
     timed("events_row_number", q.q_events_row_number)
+    timed("bigram_lm_perplexity", q.q_bigram_lm_perplexity)
 
     out = {
         "metric": "extract_e2e_sec",

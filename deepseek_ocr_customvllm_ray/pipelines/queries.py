@@ -975,6 +975,20 @@ def q_word_frequencies(sf_dir: str):
     return analysis.word_frequencies(ds, "text", top_k=50)
 
 
+def q_bigram_lm_perplexity(sf_dir: str):
+    """CCNet-style LM quality gate: train an add-0.5 word-bigram LM on
+    the corpus (vocabulary-sized shuffles via the frequency kernels,
+    model broadcast once), score every doc map-only in an actor pool.
+    Emits exact ints (n_bigrams, lp_q20 = sum of 2^20-fixed-point bigram
+    log-probs); ppl = exp(-(lp_q20/2^20)/n_bigrams) downstream — raw
+    ints keep the contract engine-exact (numpy/DuckDB exp differ 1 ulp).
+    """
+    from ..stages.lm import bigram_lm_perplexity
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bigram_lm_perplexity(ds, "text", "doc_id")
+
+
 def q_compression_ratio(sf_dir: str):
     """zlib compressibility quality signal (CCNet-style): map-only
     (doc_id, n_bytes, n_zlib) ints; golden snapshot oracle (no SQL

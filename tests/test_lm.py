@@ -1,0 +1,139 @@
+"""Bigram LM perplexity (stages/lm.py): serial-reference parity,
+hand-computed fixed-point values, parallelism invariance, edge cases.
+The bit-exact DuckDB oracle for the wired query lives in
+``__ray_entry__.py`` (``bigram_lm_perplexity``)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+from deepseek_ocr_customvllm_ray.stages.lm import (
+    LP_QUANTUM,
+    bigram_lm_perplexity,
+)
+
+
+def _serial(texts, ids, alpha=0.5):
+    """Pure-Python reference: add-alpha bigram LM trained on the corpus,
+    scored per doc, fixed-point quantized like the engine."""
+    docs = [
+        (i, t.split())
+        for i, t in zip(ids, texts)
+        if t is not None and t.strip()
+    ]
+    uni = Counter(w for _i, ws in docs for w in ws)
+    big = Counter(
+        (ws[j], ws[j + 1])
+        for _i, ws in docs
+        for j in range(len(ws) - 1)
+    )
+    V = float(len(uni))
+    out = {}
+    for i, ws in docs:
+        if len(ws) < 2:
+            continue
+        qs = []
+        for j in range(len(ws) - 1):
+            cb = big[(ws[j], ws[j + 1])]
+            cu = uni[ws[j]]
+            lp = math.log((cb + alpha) / (cu + alpha * V))
+            qs.append(math.floor(lp * LP_QUANTUM + 0.5))
+        out[i] = (len(qs), sum(qs))
+    return out
+
+
+def _run(texts, ids=None, parallelism=4):
+    import ray.data as rd
+
+    if ids is None:
+        ids = list(range(len(texts)))
+    t = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    ds = rd.from_arrow(t).repartition(parallelism)
+    df = bigram_lm_perplexity(ds, "text", "doc_id").to_pandas()
+    return {
+        int(r.doc_id): (int(r.n_bigrams), int(r.lp_q20))
+        for r in df.itertuples(index=False)
+    }
+
+
+def test_matches_serial_reference(ray_session):
+    import random
+
+    rng = random.Random(11)
+    vocab = ["the", "cat", "sat", "on", "mat", "dog", "ran", "far"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40)))
+        for _ in range(150)
+    ] + [None, "", "   ", "solo"]
+    ids = list(range(len(texts)))
+    assert _run(texts, ids) == _serial(texts, ids)
+
+
+def test_hand_computed_tiny_corpus(ray_session):
+    # corpus: "a b a", "a b" -> uni: a=3, b=2; big: (a,b)=2, (b,a)=1; V=2
+    got = _run(["a b a", "a b"], ids=[7, 8], parallelism=2)
+    V = 2.0
+    lp_ab = math.log((2 + 0.5) / (3 + 0.5 * V))
+    lp_ba = math.log((1 + 0.5) / (2 + 0.5 * V))
+    q_ab = math.floor(lp_ab * LP_QUANTUM + 0.5)
+    q_ba = math.floor(lp_ba * LP_QUANTUM + 0.5)
+    assert got == {7: (2, q_ab + q_ba), 8: (1, q_ab)}
+
+
+def test_parallelism_invariance(ray_session):
+    import random
+
+    rng = random.Random(3)
+    vocab = ["x", "y", "z", "w"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 20)))
+        for _ in range(80)
+    ]
+    assert _run(texts, parallelism=1) == _run(texts, parallelism=7)
+
+
+def test_short_and_empty_docs_excluded(ray_session):
+    got = _run(["only", "", None, "  ", "two words"], ids=[1, 2, 3, 4, 5])
+    assert set(got) == {5}
+    assert got[5][0] == 1
+
+
+def test_heldout_reference_corpus(ray_session):
+    """ref_ds training: unseen tokens/pairs score with count 0 (pure
+    add-alpha mass), matching the serial formula with Counter defaults."""
+    import ray.data as rd
+
+    ref_texts = ["a b a b", "b a"]
+    score_texts = ["a b c"]
+    ref = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(ref_texts, pa.string()),
+    }))
+    tgt = rd.from_arrow(pa.table({
+        "doc_id": pa.array([9], pa.int64()),
+        "text": pa.array(score_texts, pa.string()),
+    }))
+    df = bigram_lm_perplexity(tgt, "text", "doc_id", ref_ds=ref).to_pandas()
+    uni = Counter("a b a b".split() + "b a".split())
+    big = Counter([("a", "b"), ("b", "a"), ("a", "b")])
+    V = float(len(uni))
+    q = 0
+    for w1, w2 in [("a", "b"), ("b", "c")]:
+        lp = math.log((big[(w1, w2)] + 0.5) / (uni[w1] + 0.5 * V))
+        q += math.floor(lp * LP_QUANTUM + 0.5)
+    assert df.iloc[0].n_bigrams == 2
+    assert int(df.iloc[0].lp_q20) == q
+
+
+def test_ppl_derivation_is_finite(ray_session):
+    got = _run(["a a a a", "a b b a"])
+    for n, s in got.values():
+        ppl = np.exp(-((s / LP_QUANTUM) / n))
+        assert np.isfinite(ppl) and ppl > 1.0
