@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q.q_bm25_topk,
         "compression_ratio": q.q_compression_ratio,
         "bigram_lm_perplexity": q.q_bigram_lm_perplexity,
+        "ccnet_ppl_buckets": q.q_ccnet_ppl_buckets,
         "weighted_sample": q.q_weighted_sample,
         "pack_sequences": q.q_pack_sequences,
     }
@@ -542,6 +543,41 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, count(*) AS n_bigrams, "
             "CAST(sum(q) AS BIGINT) AS lp_q20 "
             "FROM scored GROUP BY doc_id"
+        ),
+        "ccnet_ppl_buckets": (
+            # CCNet head/middle/tail: the bigram-LM scored table (same
+            # CTEs as bigram_lm_perplexity, lang carried), mean log-prob
+            # mlp = ONE double division of exact ints, per-lang tertile
+            # thresholds via quantile_disc (rank ceil(p*n) — verified
+            # identical to the engine's histogram-refinement rule), CASE
+            # comparisons on exact doubles
+            "WITH toks AS (SELECT doc_id, lang, string_split_regex(trim(text, "
+            "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), "
+            "'\\s+') AS t FROM documents WHERE trim(text, ' ' || chr(9) "
+            "|| chr(10) || chr(11) || chr(12) || chr(13)) <> ''), "
+            "uni AS (SELECT tok, count(*) AS cu FROM "
+            "(SELECT unnest(t) AS tok FROM toks) GROUP BY tok), "
+            "vs AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni), "
+            "bp AS (SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2 FROM "
+            "(SELECT doc_id, lang, t, unnest(generate_series(1, len(t) - 1)) "
+            "AS i FROM toks)), "
+            "big AS (SELECT w1, w2, count(*) AS cb FROM bp GROUP BY w1, w2), "
+            "qq AS (SELECT bp.doc_id, bp.lang, CAST(floor(ln((cb + 0.5e0) / "
+            "(cu + 0.5e0 * v)) * 1048576.0e0 + 0.5e0) AS BIGINT) AS q "
+            "FROM bp JOIN big USING (w1, w2) "
+            "JOIN uni ON uni.tok = bp.w1 CROSS JOIN vs), "
+            "sc AS (SELECT doc_id, lang, count(*) AS n_bigrams, "
+            "CAST(sum(q) AS BIGINT) AS lp_q20 FROM qq GROUP BY doc_id, lang), "
+            "m AS (SELECT *, CAST(lp_q20 AS DOUBLE) / CAST(n_bigrams AS "
+            "DOUBLE) AS mlp FROM sc), "
+            "th AS (SELECT lang, "
+            "quantile_disc(mlp, 0.3333333333333333e0) AS t1, "
+            "quantile_disc(mlp, 0.6666666666666666e0) AS t2 "
+            "FROM m WHERE lang IS NOT NULL GROUP BY lang) "
+            "SELECT doc_id, m.lang AS lang, n_bigrams, lp_q20, "
+            "CASE WHEN mlp <= t1 THEN 'tail' WHEN mlp <= t2 THEN 'middle' "
+            "ELSE 'head' END AS bucket "
+            "FROM m JOIN th ON m.lang = th.lang"
         ),
         "weighted_sample": (
             # Efraimidis-Spirakis: u exact (13 hex chars / 2^52), key =

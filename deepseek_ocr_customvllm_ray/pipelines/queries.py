@@ -989,6 +989,17 @@ def q_bigram_lm_perplexity(sf_dir: str):
     return bigram_lm_perplexity(ds, "text", "doc_id")
 
 
+def q_ccnet_ppl_buckets(sf_dir: str):
+    """CCNet head/middle/tail selection: per-language perplexity
+    tertiles over the bigram-LM mean log-prob (monotone in ppl, so no
+    engine-side exp), exact thresholds via grouped histogram-refinement,
+    map-only bucket assignment with broadcast G x 2 scalars."""
+    from ..stages.lm import ccnet_ppl_buckets
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return ccnet_ppl_buckets(ds, "text", "doc_id", "lang")
+
+
 def q_compression_ratio(sf_dir: str):
     """zlib compressibility quality signal (CCNet-style): map-only
     (doc_id, n_bytes, n_zlib) ints; golden snapshot oracle (no SQL

@@ -55,7 +55,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-__all__ = ["train_bigram_lm", "bigram_lm_perplexity"]
+__all__ = ["train_bigram_lm", "bigram_lm_perplexity", "ccnet_ppl_buckets"]
 
 
 def _collect_counts(freq_ds, key_col: str):
@@ -101,7 +101,8 @@ class BigramLmScorer:
     actor in ``__init__``; ``__call__`` is pure vectorized batch work."""
 
     def __init__(self, model_ref, text_col: str, id_col: str,
-                 vocab_size: int, alpha: float = 0.5):
+                 vocab_size: int, alpha: float = 0.5,
+                 carry_cols: tuple = ()):
         model = ray.get(model_ref)
         self._uni_keys = model["uni_keys"]
         # pad position 0 = "unseen" (count 0) so index_in misses (-1)
@@ -115,6 +116,7 @@ class BigramLmScorer:
         self._id_col = id_col
         self._V = float(vocab_size)
         self._alpha = float(alpha)
+        self._carry = tuple(carry_cols)
 
     def _lookup(self, values: pa.Array, keys: pa.Array,
                 padded_counts: np.ndarray) -> np.ndarray:
@@ -122,12 +124,20 @@ class BigramLmScorer:
         idx = pc.add(pc.fill_null(idx, -1), 1)  # miss -> slot 0 (count 0)
         return padded_counts[np.asarray(idx, dtype=np.int64)]
 
+    def _out(self, ids, n_big, sums, carried) -> pa.Table:
+        cols = {"doc_id": pa.array(ids, pa.int64())}
+        for name, arr in carried:
+            cols[name] = arr
+        cols["n_bigrams"] = pa.array(n_big, pa.int64())
+        cols["lp_q20"] = pa.array(sums, pa.int64())
+        return pa.table(cols)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        empty = pa.table({
-            "doc_id": pa.array([], pa.int64()),
-            "n_bigrams": pa.array([], pa.int64()),
-            "lp_q20": pa.array([], pa.int64()),
-        })
+        empty = self._out(
+            np.zeros(0, np.int64), np.zeros(0, np.int64),
+            np.zeros(0, np.int64),
+            [(c, batch[c].slice(0, 0).combine_chunks()) for c in self._carry],
+        )
         trimmed = pc.utf8_trim_whitespace(batch[self._text_col])
         keep = pc.fill_null(pc.greater(pc.utf8_length(trimmed), 0), False)
         ids = np.asarray(batch[self._id_col].filter(keep), dtype=np.int64)
@@ -165,16 +175,17 @@ class BigramLmScorer:
         starts = ends - n_big
         sums = cs[ends] - cs[starts]
         has = n_big > 0
-        return pa.table({
-            "doc_id": pa.array(ids[has], pa.int64()),
-            "n_bigrams": pa.array(n_big[has], pa.int64()),
-            "lp_q20": pa.array(sums[has], pa.int64()),
-        })
+        has_mask = pa.array(has)
+        carried = [
+            (c, batch[c].filter(keep).combine_chunks().filter(has_mask))
+            for c in self._carry
+        ]
+        return self._out(ids[has], n_big[has], sums[has], carried)
 
 
 def bigram_lm_perplexity(ds, text_col: str, id_col: str,
                          ref_ds=None, alpha: float = 0.5,
-                         concurrency=4):
+                         concurrency=4, carry_cols: tuple = ()):
     """``Dataset -> Dataset`` of ``(doc_id, n_bigrams, lp_q20)`` exact
     ints; ``ppl = exp(-(lp_q20 / 2^20) / n_bigrams)`` downstream.
 
@@ -189,7 +200,80 @@ def bigram_lm_perplexity(ds, text_col: str, id_col: str,
         concurrency = (1, max(1, concurrency))
     return ds.map_batches(
         BigramLmScorer,
-        fn_constructor_args=(model_ref, text_col, id_col, vocab, alpha),
+        fn_constructor_args=(
+            model_ref, text_col, id_col, vocab, alpha, tuple(carry_cols)),
         concurrency=concurrency,
         batch_format="pyarrow",
     )
+
+
+def ccnet_ppl_buckets(ds, text_col: str, id_col: str, group_col: str,
+                      ref_ds=None, alpha: float = 0.5, concurrency=4):
+    """The CCNet selection step (Wenzek et al. 2020 §4.3): bucket every
+    document into ``head`` / ``middle`` / ``tail`` by per-language LM
+    perplexity tertiles.
+
+    Composition of two existing exact kernels: :func:`bigram_lm_perplexity`
+    scores each doc (exact ints), then ``quantiles.grouped_exact_quantiles``
+    finds the per-group tertile thresholds of the mean log-prob
+    ``mlp = lp_q20 / n_bigrams`` (ONE double division of exact ints —
+    bit-identical across engines; perplexity is ``exp(-mlp/2^20)``, a
+    MONOTONE DECREASING map, so tertiles of mlp ARE reverse tertiles of
+    ppl and no engine-side ``exp`` is needed).  Bucket rule on exact
+    doubles: ``mlp <= t(1/3) -> 'tail'`` (highest perplexity),
+    ``mlp <= t(2/3) -> 'middle'``, else ``'head'``.
+
+    Scale shape: the scored table is THIN (id + group + 2 ints) and is
+    materialized ONCE because the grouped-quantile refinement is
+    multi-pass — re-scoring the corpus per pass would re-read the
+    payload ~4x; at 10^12 docs the pinned table is ~40 B/doc and spills,
+    or checkpoint it to Parquet between the two phases.  Thresholds are
+    G x 2 driver-side scalars broadcast in the task closure; the bucket
+    pass is map-only."""
+    from .quantiles import grouped_exact_quantiles
+
+    scored = bigram_lm_perplexity(
+        ds, text_col, id_col, ref_ds=ref_ds, alpha=alpha,
+        concurrency=concurrency, carry_cols=(group_col,),
+    )
+
+    def add_mlp(b: pa.Table) -> pa.Table:
+        mlp = (np.asarray(b["lp_q20"], dtype=np.float64)
+               / np.asarray(b["n_bigrams"], dtype=np.float64))
+        return b.append_column("mlp", pa.array(mlp, pa.float64()))
+
+    scored = scored.map_batches(add_mlp, batch_format="pyarrow").materialize()
+    th = grouped_exact_quantiles(
+        scored, "mlp", group_col, [1.0 / 3.0, 2.0 / 3.0])
+    lo: dict = {}
+    hi: dict = {}
+    for g, p, v in zip(th[group_col].to_pylist(), th["p"].to_pylist(),
+                       th["value"].to_pylist()):
+        (lo if p < 0.5 else hi)[g] = float(v)
+
+    th_groups = sorted(set(lo) & set(hi))
+    th_keys = pa.array(th_groups, pa.string())
+    t1_arr = np.array([lo[g] for g in th_groups], dtype=np.float64)
+    t2_arr = np.array([hi[g] for g in th_groups], dtype=np.float64)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        # vectorized threshold lookup; inner-join semantics (a null or
+        # unknown group drops the row, matching the oracle's JOIN)
+        gi = pc.index_in(b[group_col], value_set=th_keys)
+        valid = pc.is_valid(gi)
+        b = b.filter(valid)
+        gidx = np.asarray(gi.filter(valid), dtype=np.int64)
+        mlp = np.asarray(b["mlp"], dtype=np.float64)
+        t1 = t1_arr[gidx]
+        t2 = t2_arr[gidx]
+        bucket = np.where(mlp <= t1, "tail",
+                          np.where(mlp <= t2, "middle", "head"))
+        return pa.table({
+            "doc_id": b["doc_id"],
+            group_col: b[group_col],
+            "n_bigrams": b["n_bigrams"],
+            "lp_q20": b["lp_q20"],
+            "bucket": pa.array(bucket.tolist(), pa.string()),
+        })
+
+    return scored.map_batches(bucketize, batch_format="pyarrow")

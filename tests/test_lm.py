@@ -137,3 +137,60 @@ def test_ppl_derivation_is_finite(ray_session):
     for n, s in got.values():
         ppl = np.exp(-((s / LP_QUANTUM) / n))
         assert np.isfinite(ppl) and ppl > 1.0
+
+def test_ccnet_ppl_buckets_serial_parity(ray_session):
+    """CCNet head/middle/tail: per-lang tertiles of mean log-prob via
+    the quantile_disc rule (1-indexed rank ceil(p*n)), bucket rule
+    mlp <= t1 -> tail, <= t2 -> middle, else head."""
+    import random
+
+    import ray.data as rd
+
+    from deepseek_ocr_customvllm_ray.stages.lm import ccnet_ppl_buckets
+
+    rng = random.Random(21)
+    vocab = ["the", "cat", "sat", "on", "mat", "dog"]
+    texts, langs = [], []
+    for _ in range(120):
+        texts.append(
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 30))))
+        langs.append(rng.choice(["en", "vi", "fr"]))
+    # edge rows: null lang (dropped), empty text (dropped), 1-token doc
+    texts += ["a b c", "", "solo"]
+    langs += [None, "en", "en"]
+    ids = list(range(len(texts)))
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+    })).repartition(5)
+    df = ccnet_ppl_buckets(ds, "text", "doc_id", "lang").to_pandas()
+
+    serial = _serial(texts, ids)
+    lang_of = dict(zip(ids, langs))
+    mlps = {
+        i: s / n for i, (n, s) in serial.items() if lang_of[i] is not None
+    }
+    import math as m
+
+    expect = {}
+    for lg in {v for v in langs if v is not None}:
+        vals = sorted(v for i, v in mlps.items() if lang_of[i] == lg)
+        if not vals:
+            continue
+        t1 = vals[m.ceil(len(vals) / 3) - 1]
+        t2 = vals[m.ceil(2 * len(vals) / 3) - 1]
+        for i, v in mlps.items():
+            if lang_of[i] != lg:
+                continue
+            expect[i] = "tail" if v <= t1 else ("middle" if v <= t2 else "head")
+
+    got = {int(r.doc_id): r.bucket for r in df.itertuples(index=False)}
+    assert got == expect
+    # carried columns are intact
+    assert set(df.columns) == {"doc_id", "lang", "n_bigrams", "lp_q20",
+                               "bucket"}
+    for r in df.itertuples(index=False):
+        assert (int(r.n_bigrams), int(r.lp_q20)) == serial[int(r.doc_id)]
+        assert r.lang == lang_of[int(r.doc_id)]
