@@ -238,8 +238,10 @@ def run_bench() -> dict:
     timed("compression_ratio", q.q_compression_ratio)
     timed("winsorize_lengths", q.q_winsorize_lengths)
     timed("events_lag", q.q_events_lag)
+    timed("events_cumsum", q.q_events_cumsum)
     timed("events_row_number", q.q_events_row_number)
     timed("bigram_lm_perplexity", q.q_bigram_lm_perplexity)
+    timed("ccnet_ppl_buckets", q.q_ccnet_ppl_buckets)
 
     out = {
         "metric": "extract_e2e_sec",

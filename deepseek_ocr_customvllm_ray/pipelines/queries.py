@@ -650,6 +650,30 @@ def q_events_row_number(sf_dir: str):
     return key_row_number(ds, "user_id", "ts", "event_id", num_partitions=16)
 
 
+def q_events_cumsum(sf_dir: str):
+    """Per-user cumulative spend (running total window function):
+    SUM(cents) OVER (PARTITION BY user ORDER BY ts, id ROWS UNBOUNDED
+    PRECEDING) — integer cents so prefix sums are exact; same
+    single-exchange lexsort sweep as events_lag."""
+    from ..stages.windows import key_cumsum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(batch["value"], 100.0)), pa.int64())
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts": batch["ts"],
+            "value_cents": cents,
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    return key_cumsum(
+        prepped, "user_id", "ts", "event_id", value_cols=["value_cents"]
+    )
+
+
 def q_events_sessionize(sf_dir: str):
     """Session windows (30-min inactivity gap) per user — the stream-shaped
     operator (SURVEY §2.10 analog): one crc32(user) exchange, then every

@@ -231,6 +231,63 @@ def key_lag(
     return parts.groupby("_part").map_groups(sweep, batch_format="pyarrow")
 
 
+def key_cumsum(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_cols: Sequence[str],
+    num_partitions: int = 16,
+):
+    """Per-key running total — SQL ``SUM(v) OVER (PARTITION BY key
+    ORDER BY ts, id ROWS UNBOUNDED PRECEDING)`` (the cumulative-spend /
+    cumulative-bytes-crawled feature).  ``value_cols`` must already be
+    integer-exact (convert money to cents upstream) so the prefix sums
+    are bit-identical across engines and cluster shapes.
+
+    Same single-exchange shape as :func:`key_lag`: one crc32(key)
+    exchange co-locates each key's rows, then every partition resolves
+    ALL its keys in one lexsort + global-cumsum-minus-key-base sweep —
+    no per-key Python, no per-key frame.  Ties on ts order by ``id_col``
+    (unique), so ROWS and RANGE frames coincide and the result is
+    deterministic.  Returns ``(id, key, cum_<col>...)``."""
+    from .partition import with_hash_partition
+
+    parts = with_hash_partition(ds, key_col, num_partitions)
+
+    def sweep(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_part"])
+        out_schema = pa.schema(
+            [(id_col, pa.int64()), (key_col, t[key_col].type)]
+            + [("cum_" + c, pa.int64()) for c in value_cols]
+        )
+        if not t.num_rows:
+            return out_schema.empty_table()
+        import pyarrow.compute as pc
+
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        ts = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        ids = t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts, keys))
+        k_s, i_s = keys[order], ids[order]
+        new_key = np.concatenate([[True], k_s[1:] != k_s[:-1]])
+        starts = np.flatnonzero(new_key)
+        start_of_row = np.repeat(starts, np.diff(np.append(starts, len(k_s))))
+        cols = {
+            id_col: pa.array(i_s, pa.int64()),
+            key_col: pa.array(k_s, t[key_col].type),
+        }
+        for c in value_cols:
+            v = t[c].cast(pa.int64()).to_numpy(zero_copy_only=False)[order]
+            total = np.concatenate([[0], np.cumsum(v)])
+            cols["cum_" + c] = pa.array(
+                total[np.arange(len(v)) + 1] - total[start_of_row], pa.int64()
+            )
+        return pa.table(cols, schema=out_schema)
+
+    return parts.groupby("_part").map_groups(sweep, batch_format="pyarrow")
+
+
 def key_row_number(
     ds,
     key_col: str,

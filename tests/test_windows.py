@@ -151,3 +151,47 @@ class TestKeyRowNumber:
             got = {int(r.event_id): int(r.row_number)
                    for r in df.itertuples(index=False)}
             assert got == want, parts
+
+
+class TestKeyCumsum:
+    def _run(self, rows, parts=4):
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from deepseek_ocr_customvllm_ray.stages.windows import key_cumsum
+
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [dt.datetime(2026, 1, 1) + dt.timedelta(seconds=r[2]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "v": pa.array([r[3] for r in rows], pa.int64()),
+        })
+        df = key_cumsum(
+            rd.from_arrow(t), "user_id", "ts", "event_id", ["v"],
+            num_partitions=parts,
+        ).to_pandas()
+        return {int(r.event_id): int(r.cum_v) for r in df.itertuples(index=False)}
+
+    def test_hand_computed(self, ray_session):
+        rows = [  # (event_id, user, seconds, v)
+            (1, 7, 0, 10), (2, 7, 10, 5), (3, 7, 10, 1), (4, 7, 25, -3),
+            (5, 8, 100, 42),
+        ]
+        # ties on ts order by event_id: 2 then 3
+        assert self._run(rows) == {1: 10, 2: 15, 3: 16, 4: 13, 5: 42}
+
+    def test_negative_and_zero_values(self, ray_session):
+        rows = [(1, 1, 0, -5), (2, 1, 1, 0), (3, 1, 2, 5)]
+        assert self._run(rows) == {1: -5, 2: -5, 3: 0}
+
+    def test_partition_invariant(self, ray_session):
+        rows = [(i, i % 7, (i * 37) % 600, (i * 13) % 101 - 50)
+                for i in range(300)]
+        want = self._run(rows, parts=1)
+        for p in (3, 16):
+            assert self._run(rows, parts=p) == want, p
