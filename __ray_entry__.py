@@ -541,7 +541,12 @@ def oracle_sql() -> dict[str, str]:
             # log-prob ln((cb + 0.5e0) / (cu + 0.5e0 * v)) over exact-int
             # counts, quantized floor(lp * 2^20 + 0.5) -> BIGINT so the
             # per-doc sum is order-free and engine-exact (e0 suffixes:
-            # DuckDB must parse DOUBLE, not DECIMAL)
+            # DuckDB must parse DOUBLE, not DECIMAL).  Known shared
+            # assumption (same as word_frequencies): the trim set is the
+            # 6 ASCII whitespace chars while the engine trims full
+            # Unicode whitespace — identical on this corpus (all-ASCII
+            # whitespace by construction, FIXTURES.md); a corpus with
+            # NBSP-edged text would need utf8 classes here
             "WITH toks AS (SELECT doc_id, string_split_regex(trim(text, "
             "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), "
             "'\\s+') AS t FROM documents WHERE trim(text, ' ' || chr(9) "

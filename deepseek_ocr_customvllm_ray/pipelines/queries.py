@@ -358,28 +358,36 @@ def q_distinct_langs_per_source(sf_dir: str):
     ds = _read(sf_dir, "documents", ["source", "lang"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        keep = pc.and_(batch["source"].is_valid(), batch["lang"].is_valid())
-        batch = batch.filter(keep)
-        if not batch.num_rows:
-            return pa.table({
-                "source": pa.array([], pa.string()),
-                "lang": pa.array([], pa.string()),
-            })
-        src = batch["source"].to_numpy(zero_copy_only=False).astype(str)
-        lang = batch["lang"].to_numpy(zero_copy_only=False).astype(str)
-        us, si = np.unique(src, return_inverse=True)
-        ul, li = np.unique(lang, return_inverse=True)
-        comb = np.unique(si.astype(np.int64) * len(ul) + li)
-        return pa.table({
-            "source": pa.array(us[comb // len(ul)], pa.string()),
-            "lang": pa.array(ul[comb % len(ul)], pa.string()),
+        empty = pa.table({
+            "source": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
         })
+        if not batch.num_rows:
+            return empty
+        # SQL GROUP BY semantics: a NULL source is a real group, and a
+        # NULL lang must reach the resolve (count(DISTINCT lang) skips it
+        # there, but the source row itself survives with n_langs=0) — so
+        # nulls are kept as their own dictionary category (code -1), not
+        # filtered
+        se = pc.dictionary_encode(batch["source"].combine_chunks())
+        le = pc.dictionary_encode(batch["lang"].combine_chunks())
+        si = np.asarray(pc.fill_null(se.indices, -1), dtype=np.int64)
+        li = np.asarray(pc.fill_null(le.indices, -1), dtype=np.int64)
+        span = np.int64(len(le.dictionary) + 1)
+        comb = np.unique((si + 1) * span + (li + 1))
+        s_codes = comb // span - 1
+        l_codes = comb % span - 1
+        src_vals = se.dictionary.take(
+            pa.array([c if c >= 0 else None for c in s_codes], pa.int64()))
+        lang_vals = le.dictionary.take(
+            pa.array([c if c >= 0 else None for c in l_codes], pa.int64()))
+        return pa.table({"source": src_vals, "lang": lang_vals})
 
     pairs = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     n = (
         pairs.drop_duplicates()
-        .groupby("source", sort=True)["lang"]
-        .nunique()
+        .groupby("source", sort=True, dropna=False)["lang"]
+        .nunique()  # dropna=True default: NULL langs don't count
     )
     return pd.DataFrame({
         "source": n.index,

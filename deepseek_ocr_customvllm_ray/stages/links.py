@@ -434,6 +434,27 @@ class _PagerankShard:
         return local
 
 
+def _shard_cpus(total_cpus: float, n_shards: int) -> float:
+    """Per-shard CPU request sized so the WHOLE pool always schedules:
+    1 full core each when the cluster is large, else at most half the
+    cluster spread over all shards — rounded DOWN (and floored at Ray's
+    1e-4 resource granularity only when that keeps the sum under
+    ``total_cpus``) so no rounding artifact can push
+    ``n_shards * shard_cpus`` past the cluster and wedge the first
+    ``ray.get`` forever.  A fixed 0.05 floor here once re-created the
+    hang for ``n_shards > 20x`` cluster CPUs (tests pin the invariant)."""
+    if total_cpus >= 2 * n_shards:
+        return 1.0
+    if n_shards * 0.0001 > total_cpus:
+        # below Ray's 1e-4 resource granularity there is NO request that
+        # schedules all shards — fail loudly instead of hanging
+        raise ValueError(
+            f"n_shards={n_shards} cannot all schedule on "
+            f"{total_cpus} CPUs; reduce n_shards"
+        )
+    return max(int(total_cpus / (2 * n_shards) * 10_000) / 10_000, 0.0001)
+
+
 def host_pagerank_sharded(
     edges_ds, damping: float = 0.85, iters: int = 20, n_shards: int = 4,
     stream_batch_rows: int = 65_536,
@@ -470,63 +491,78 @@ def host_pagerank_sharded(
     # over all shards) instead of refusing; at scale (CPUs >> n_shards)
     # each shard still gets a dedicated core.
     total_cpus = ray.cluster_resources().get("CPU", float(n_shards))
-    shard_cpus = 1.0 if total_cpus >= 2 * n_shards else max(
-        0.05, round(total_cpus / (2 * n_shards), 2)
-    )
+    shard_cpus = _shard_cpus(total_cpus, n_shards)
 
     edges = edges_ds.materialize()
-    # Pass 1 — host vocabulary: per-batch unique partials, tiny driver
-    # np.unique over the (distinct-host-bounded) concatenation.
-    partials = []
+    # Pass 1 — host vocabulary: per-batch unique partials folded
+    # INCREMENTALLY so driver memory is O(distinct hosts + fold buffer),
+    # not O(edges) (hosts repeat across batches; buffering every batch's
+    # partial until one final unique would re-create the one-node edge
+    # collect this function exists to avoid).
+    hosts = np.empty(0, dtype=object)
+    buf, buf_rows = [], 0
     for b in edges.iter_batches(batch_format="pyarrow",
                                 batch_size=stream_batch_rows):
-        partials.append(np.unique(np.concatenate([
+        if not b.num_rows:
+            continue
+        buf.append(np.unique(np.concatenate([
             np.asarray(b["src_host"].to_pylist(), dtype=object),
             np.asarray(b["dst_host"].to_pylist(), dtype=object),
-        ])) if b.num_rows else np.empty(0, dtype=object))
-    if not partials or not sum(len(p) for p in partials):
+        ])))
+        buf_rows += len(buf[-1])
+        if buf_rows > max(1_000_000, 4 * len(hosts)):
+            hosts = np.unique(np.concatenate([hosts] + buf))
+            buf, buf_rows = [], 0
+    if buf:
+        hosts = np.unique(np.concatenate([hosts] + buf))
+    if not len(hosts):
         return pd.DataFrame({"host": pd.array([], dtype=object),
                              "rank": pd.array([], dtype="float64")})
-    hosts = np.unique(np.concatenate(partials))
     n = len(hosts)
 
     ShardActor = ray.remote(num_cpus=shard_cpus)(_PagerankShard)
     shards = [ShardActor.remote(n, n_shards, s) for s in range(n_shards)]
 
-    # Pass 2 — index + ship: stream batches in dataset order, split each
-    # by dst stripe (stable masks preserve per-dst order), accumulate the
-    # global out-weights on the driver (integer-exact in float64).
-    out_w = np.zeros(n, dtype=np.float64)
-    pending = []
-    for b in edges.iter_batches(batch_format="pyarrow",
-                                batch_size=stream_batch_rows):
-        if not b.num_rows:
-            continue
-        src = np.searchsorted(hosts,
-                              np.asarray(b["src_host"].to_pylist(), dtype=object))
-        dst = np.searchsorted(hosts,
-                              np.asarray(b["dst_host"].to_pylist(), dtype=object))
-        w = b["n_links"].to_numpy(zero_copy_only=False).astype(np.float64)
-        np.add.at(out_w, src, w)
-        stripe = dst % n_shards
-        for s in range(n_shards):
-            m = stripe == s
-            if m.any():
-                pending.append(shards[s].add_edges.remote(src[m], dst[m], w[m]))
-    ray.get(pending)
-    out_w_ref = ray.put(out_w)
-    ray.get([s.finalize.remote(out_w_ref) for s in shards])
+    try:
+        # Pass 2 — index + ship: stream batches in dataset order, split
+        # each by dst stripe (stable masks preserve per-dst order),
+        # accumulate the global out-weights on the driver
+        # (integer-exact in float64).
+        out_w = np.zeros(n, dtype=np.float64)
+        pending = []
+        for b in edges.iter_batches(batch_format="pyarrow",
+                                    batch_size=stream_batch_rows):
+            if not b.num_rows:
+                continue
+            src = np.searchsorted(
+                hosts, np.asarray(b["src_host"].to_pylist(), dtype=object))
+            dst = np.searchsorted(
+                hosts, np.asarray(b["dst_host"].to_pylist(), dtype=object))
+            w = b["n_links"].to_numpy(zero_copy_only=False).astype(np.float64)
+            np.add.at(out_w, src, w)
+            stripe = dst % n_shards
+            for s in range(n_shards):
+                m = stripe == s
+                if m.any():
+                    pending.append(
+                        shards[s].add_edges.remote(src[m], dst[m], w[m]))
+        ray.get(pending)
+        out_w_ref = ray.put(out_w)
+        ray.get([s.finalize.remote(out_w_ref) for s in shards])
 
-    r = np.full(n, 1.0 / n, dtype=np.float64)
-    dangling = out_w == 0
-    for _ in range(iters):
-        r_ref = ray.put(r)
-        locals_ = ray.get([s.matvec.remote(r_ref) for s in shards])
-        contrib = np.zeros(n, dtype=np.float64)
-        for s in range(n_shards):
-            contrib[s::n_shards] = locals_[s]
-        dangling_mass = r[dangling].sum()
-        r = (1.0 - damping) / n + damping * (contrib + dangling_mass / n)
-    for s in shards:
-        ray.kill(s)
+        r = np.full(n, 1.0 / n, dtype=np.float64)
+        dangling = out_w == 0
+        for _ in range(iters):
+            r_ref = ray.put(r)
+            locals_ = ray.get([s.matvec.remote(r_ref) for s in shards])
+            contrib = np.zeros(n, dtype=np.float64)
+            for s in range(n_shards):
+                contrib[s::n_shards] = locals_[s]
+            dangling_mass = r[dangling].sum()
+            r = (1.0 - damping) / n + damping * (contrib + dangling_mass / n)
+    finally:
+        # also on error: a raised load/iterate step must not leak
+        # n_shards actors pinning the edge stripes for the process life
+        for s in shards:
+            ray.kill(s)
     return pd.DataFrame({"host": hosts, "rank": r})

@@ -104,25 +104,52 @@ class BigramLmScorer:
                  vocab_size: int, alpha: float = 0.5,
                  carry_cols: tuple = ()):
         model = ray.get(model_ref)
-        self._uni_keys = model["uni_keys"]
-        # pad position 0 = "unseen" (count 0) so index_in misses (-1)
-        # resolve through fill_null -> 0 without a Python branch
-        self._uni_counts = np.concatenate(
-            [np.zeros(1, np.int64), model["uni_counts"]])
-        self._pair_keys = model["pair_keys"]
-        self._pair_counts = np.concatenate(
-            [np.zeros(1, np.int64), model["pair_counts"]])
+        # lookup representation is picked ONCE per actor by vocabulary
+        # size: small vocabularies keep the Arrow hash probe (its
+        # per-batch value_set rebuild is O(V) — negligible when V is
+        # thousands, and the probe itself is the fastest option); large
+        # vocabularies (the documented 10^7-10^8 pair regime) sort into
+        # numpy 'U' arrays once (C-speed string compares) so each batch
+        # probes with searchsorted in O(tokens * log V) instead of
+        # re-hashing the whole vocabulary every call
+        self._uni = self._vocab_rep(model["uni_keys"], model["uni_counts"])
+        self._pair = self._vocab_rep(model["pair_keys"], model["pair_counts"])
         self._text_col = text_col
         self._id_col = id_col
         self._V = float(vocab_size)
         self._alpha = float(alpha)
         self._carry = tuple(carry_cols)
 
-    def _lookup(self, values: pa.Array, keys: pa.Array,
-                padded_counts: np.ndarray) -> np.ndarray:
-        idx = pc.index_in(values, value_set=keys)
-        idx = pc.add(pc.fill_null(idx, -1), 1)  # miss -> slot 0 (count 0)
-        return padded_counts[np.asarray(idx, dtype=np.int64)]
+    #: vocabulary size above which the per-batch index_in hash rebuild
+    #: (O(V) per call) loses to the sorted searchsorted probe
+    SORTED_PROBE_MIN_VOCAB = 1_000_000
+
+    @classmethod
+    def _vocab_rep(cls, keys: pa.Array, counts: np.ndarray):
+        counts = np.asarray(counts, np.int64)
+        if len(keys) < cls.SORTED_PROBE_MIN_VOCAB:
+            # pad position 0 = "unseen" (count 0) so index_in misses
+            # (-1) resolve through fill_null -> 0 without a branch
+            return ("hash", keys, np.concatenate([np.zeros(1, np.int64),
+                                                  counts]))
+        k = keys.to_numpy(zero_copy_only=False).astype(str)
+        order = np.argsort(k, kind="stable")
+        return ("sorted", k[order], counts[order])
+
+    @staticmethod
+    def _lookup(values: pa.Array, rep) -> np.ndarray:
+        kind, keys, counts = rep
+        if kind == "hash":
+            idx = pc.index_in(values, value_set=keys)
+            idx = pc.add(pc.fill_null(idx, -1), 1)
+            return counts[np.asarray(idx, dtype=np.int64)]
+        v = values.to_numpy(zero_copy_only=False).astype(str)
+        if not len(keys):
+            return np.zeros(len(v), np.int64)
+        pos = np.searchsorted(keys, v)
+        pos_c = np.minimum(pos, len(keys) - 1)
+        hit = (pos < len(keys)) & (keys[pos_c] == v)
+        return np.where(hit, counts[pos_c], 0)
 
     def _out(self, ids, n_big, sums, carried) -> pa.Table:
         cols = {"doc_id": pa.array(ids, pa.int64())}
@@ -160,8 +187,8 @@ class BigramLmScorer:
         left = values.take(pa.array(idx))
         right = values.take(pa.array(idx + 1))
         pairs = pc.binary_join_element_wise(left, right, " ")
-        cu = self._lookup(left, self._uni_keys, self._uni_counts)
-        cb = self._lookup(pairs, self._pair_keys, self._pair_counts)
+        cu = self._lookup(left, self._uni)
+        cb = self._lookup(pairs, self._pair)
         # ONE fixed parenthesization, mirrored in the DuckDB oracle:
         #   ln((cb + 0.5e0) / (cu + 0.5e0 * v))
         lp = np.log((cb + self._alpha) / (cu + self._alpha * self._V))

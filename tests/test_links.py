@@ -322,3 +322,32 @@ class TestHostPagerankSharded:
             host_edges(page_out_links(rd.from_arrow(pages))), n_shards=2
         )
         assert len(pr) == 0
+
+
+class TestShardCpuSizing:
+    def test_pool_never_oversubscribes(self):
+        """Regression for the 0.05-floor hang: for ANY (total_cpus,
+        n_shards) the whole pool's request must fit the cluster so every
+        shard actor can schedule."""
+        from deepseek_ocr_customvllm_ray.stages.links import _shard_cpus
+
+        for total in (1, 2, 3, 4, 8, 16, 32, 256):
+            for n in (1, 2, 4, 5, 20, 21, 81, 96, 500, 1000):
+                if n * 0.0001 > total:
+                    continue
+                c = _shard_cpus(float(total), n)
+                assert c >= 0.0001, (total, n, c)
+                assert n * c <= total + 1e-9, (total, n, c)
+
+    def test_large_cluster_gets_full_cores(self):
+        from deepseek_ocr_customvllm_ray.stages.links import _shard_cpus
+
+        assert _shard_cpus(64.0, 4) == 1.0
+
+    def test_unschedulable_raises(self):
+        import pytest
+
+        from deepseek_ocr_customvllm_ray.stages.links import _shard_cpus
+
+        with pytest.raises(ValueError):
+            _shard_cpus(1.0, 20_000)

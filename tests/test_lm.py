@@ -194,3 +194,46 @@ def test_ccnet_ppl_buckets_serial_parity(ray_session):
     for r in df.itertuples(index=False):
         assert (int(r.n_bigrams), int(r.lp_q20)) == serial[int(r.doc_id)]
         assert r.lang == lang_of[int(r.doc_id)]
+
+
+def test_sorted_probe_path_parity(ray_session, monkeypatch):
+    """The large-vocabulary sorted searchsorted lookup must agree exactly
+    with the small-vocabulary Arrow hash probe.  The scorer is driven
+    DIRECTLY on the driver (a class-attribute monkeypatch would not
+    propagate to Ray workers — module classes pickle by reference), with
+    the threshold forced to 0 so every vocab takes the sorted path."""
+    import random
+
+    import ray.data as rd
+
+    from deepseek_ocr_customvllm_ray.stages.lm import (
+        BigramLmScorer,
+        train_bigram_lm,
+    )
+
+    rng = random.Random(17)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25)))
+        for _ in range(100)
+    ] + [None, "", "solo"]
+    ids = list(range(len(texts)))
+    want = _serial(texts, ids)
+
+    t = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    model_ref, V = train_bigram_lm(rd.from_arrow(t), "text")
+
+    monkeypatch.setattr(BigramLmScorer, "SORTED_PROBE_MIN_VOCAB", 0)
+    scorer = BigramLmScorer(model_ref, "text", "doc_id", V)
+    assert all(kind == "sorted" for kind, _, _ in (scorer._uni, scorer._pair))
+    out = scorer(t)
+    got = {
+        int(i): (int(n), int(s))
+        for i, n, s in zip(out["doc_id"].to_pylist(),
+                           out["n_bigrams"].to_pylist(),
+                           out["lp_q20"].to_pylist())
+    }
+    assert got == want

@@ -108,3 +108,46 @@ def test_customers_without_orders_null_keys(ray_session, tmp_path):
     _write_tpch_minis(tmp_path)
     out = q_customers_without_orders(str(tmp_path))
     assert out["n_customers"].tolist() == [2]
+
+
+def test_distinct_langs_null_group_semantics(ray_session, tmp_path):
+    """SQL GROUP BY faithfulness for q_distinct_langs_per_source (round-5
+    review): a NULL source is a real group, and a source whose langs are
+    all NULL must still appear with n_langs=0 (count(DISTINCT lang)
+    skips nulls but keeps the group) — verified against DuckDB on the
+    same parquet."""
+    import duckdb
+    import pyarrow.parquet as pq2
+
+    from deepseek_ocr_customvllm_ray.pipelines.queries import (
+        q_distinct_langs_per_source,
+    )
+
+    docs = pa.table({
+        "doc_id": pa.array(list(range(8)), pa.int64()),
+        "source": pa.array(
+            ["web", "web", "web", None, None, "wiki", "books", "books"],
+            pa.string()),
+        "lang": pa.array(
+            ["en", "fr", "en", "en", None, None, None, None], pa.string()),
+    })
+    pq2.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    out = q_distinct_langs_per_source(str(tmp_path))
+    got = {
+        (None if s != s else s) if s is not None else None: int(n)
+        for s, n in zip(out["source"], out["n_langs"])
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet')"
+    )
+    oracle = con.execute(
+        "SELECT source, count(DISTINCT lang) AS n_langs "
+        "FROM documents GROUP BY source"
+    ).fetchall()
+    want = {s: int(n) for s, n in oracle}
+    assert got == want
+    assert want == {"web": 2, None: 1, "wiki": 0, "books": 0}
