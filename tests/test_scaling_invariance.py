@@ -86,7 +86,11 @@ for name in ("q_minhash_clusters", "q_ngram_jaccard_pairs", "q_simhash_signature
              "q_lang_length_quartiles", "q_crawl_delta",
              "q_host_template_strip", "q_bm25_topk",
              "q_compression_ratio", "q_winsorize_lengths",
-             "q_events_lag", "q_events_row_number"):
+             "q_events_lag", "q_events_row_number",
+             "q_bigram_lm_perplexity", "q_ccnet_ppl_buckets",
+             "q_events_cumsum", "q_events_sessionize",
+             "q_source_median_chars", "q_top2_docs_per_source",
+             "q_distinct_langs_per_source"):
     res = getattr(q, name)(%(sf)r)
     df = res.to_pandas() if hasattr(res, "to_pandas") else res
     df = df[sorted(df.columns)]
