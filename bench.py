@@ -242,6 +242,11 @@ def run_bench() -> dict:
     timed("events_row_number", q.q_events_row_number)
     timed("bigram_lm_perplexity", q.q_bigram_lm_perplexity)
     timed("ccnet_ppl_buckets", q.q_ccnet_ppl_buckets)
+    timed("events_value_ranks", q.q_events_value_ranks)
+    timed("top_event_type_per_user", q.q_top_event_type_per_user)
+    timed("lang_source_rollup", q.q_lang_source_rollup)
+    timed("source_lang_pivot", q.q_source_lang_pivot)
+    timed("length_mad_outliers", q.q_length_mad_outliers)
 
     out = {
         "metric": "extract_e2e_sec",

@@ -2083,3 +2083,182 @@ def q_lang_length_quartiles(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
     return grouped_exact_quantiles(ds, "n_chars", "lang", [0.25, 0.5, 0.75])
+
+
+def q_events_value_ranks(sf_dir: str):
+    """Per-user RANK / DENSE_RANK over spend (desc) + NTILE(4) spend
+    quartile — the three remaining SQL ranking window functions in one
+    single-exchange lexsort sweep (stages.windows.key_rank).  Rank ties
+    share a rank (value-only ordering, engine-independent); NTILE orders
+    by (value desc, event_id) so bucket assignment is deterministic."""
+    from ..stages.windows import key_rank
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(batch["value"], 100.0)), pa.int64())
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "value_cents": cents,
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    return key_rank(
+        prepped, "user_id", "value_cents", "event_id", ntile=4,
+        num_partitions=16,
+    )
+
+
+def q_top_event_type_per_user(sf_dir: str):
+    """Per-user modal event type (the "dominant language per host"
+    pattern): two-level count aggregation so only the thin (user, type)
+    support crosses the exchange, then a per-partition lexsort argmax —
+    ties to the lexicographically smallest type."""
+    from ..stages.windows import key_mode
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return key_mode(ds, "user_id", "event_type", num_partitions=16)
+
+
+def q_lang_source_rollup(sf_dir: str):
+    """OLAP ROLLUP(lang, source): leaf aggregate + lang subtotals + grand
+    total.  One per-batch partial-count pass and one tiny groupby produce
+    the |langs|x|sources| leaf table; the two upper rollup levels are
+    derived from that leaf aggregate (KB-scale, driver-side by design —
+    the corpus is never re-read or re-shuffled per level)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_docs_p", pa.int64()),
+            ("total_chars_p", pa.int64()),
+        ])
+        if not batch.num_rows:
+            return out_schema.empty_table()
+        return (
+            batch.group_by(["lang", "source"])
+            .aggregate([("n_chars", "count"), ("n_chars", "sum")])
+            .rename_columns(["lang", "source", "n_docs_p", "total_chars_p"])
+            .cast(out_schema)
+        )
+
+    leaf = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(
+            Sum("n_docs_p", alias_name="n_docs"),
+            Sum("total_chars_p", alias_name="total_chars"),
+        )
+    ).to_pandas()
+
+    import pandas as pd
+
+    by_lang = (
+        leaf.groupby("lang", as_index=False)[["n_docs", "total_chars"]]
+        .sum()
+        .assign(source=None)
+    )
+    grand = pd.DataFrame({
+        "lang": [None],
+        "source": [None],
+        "n_docs": [leaf["n_docs"].sum()],
+        "total_chars": [leaf["total_chars"].sum()],
+    })
+    out = pd.concat([leaf, by_lang, grand], ignore_index=True)
+    return out[["lang", "source", "n_docs", "total_chars"]].astype(
+        {"n_docs": "int64", "total_chars": "int64"}
+    )
+
+
+def q_source_lang_pivot(sf_dir: str):
+    """Pivot: one row per source with per-language doc counts as columns
+    (the corpus-composition dashboard shape).  The lang domain is the
+    corpus's fixed 5-language set; counts are one-hot int columns summed
+    by a per-batch Arrow group_by partial + one tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    langs = ["de", "en", "es", "fr", "zh"]
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {"source": batch["source"]}
+        lang = batch["lang"]
+        for lg in langs:
+            cols["n_" + lg] = pc.cast(
+                pc.equal(lang, pa.scalar(lg)), pa.int64()
+            )
+        cols["n_docs"] = pa.array(
+            np.ones(batch.num_rows, dtype=np.int64), pa.int64()
+        )
+        t = pa.table(cols)
+        return (
+            t.group_by(["source"])
+            .aggregate([("n_" + lg, "sum") for lg in langs] + [("n_docs", "sum")])
+            .rename_columns(
+                ["source"] + ["n_" + lg + "_p" for lg in langs] + ["n_docs_p"]
+            )
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            *[Sum("n_" + lg + "_p", alias_name="n_" + lg) for lg in langs],
+            Sum("n_docs_p", alias_name="n_docs"),
+        )
+    )
+
+
+def q_length_mad_outliers(sf_dir: str):
+    """Robust per-language outlier flag: is the doc's length more than 2x
+    the median absolute deviation (MAD) from the language median?  Both
+    statistics come from the exact grouped-quantile kernel (map-only, KB
+    partials): pass 1 = per-lang median, pass 2 = per-lang median of
+    |2*x - 2*med| (doubled to stay integer-exact; SQL medians of int64
+    interpolate in halves, exact in float64).  The tiny (lang -> med, mad)
+    table then broadcasts into one vectorized flag pass — the corpus is
+    read twice and never shuffled.  Every row carries the flag (not a
+    filter) so the cross-engine float contract is exercised corpus-wide."""
+    from ..stages.quantiles import grouped_exact_quantiles
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def _sql_median(tbl_ds, col, group):
+        t = grouped_exact_quantiles(
+            tbl_ds, col, group,
+            ps=[0.5, 1.0],
+            ranks=[lambda n: (n + 1) // 2, lambda n: n // 2 + 1],
+        ).to_pandas()
+        lo = t[t["p"] == 0.5].set_index(group)["value"].astype(float)
+        hi = t[t["p"] == 1.0].set_index(group)["value"].astype(float)
+        return ((lo + hi) / 2.0).to_dict()
+
+    med = _sql_median(ds, "n_chars", "lang")
+
+    def dev_batch(batch: pa.Table) -> pa.Table:
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        x = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.array([med[lg] for lg in lang], dtype=np.float64)
+        # |2x - 2m| is integer-valued (2m = sum of the two middle ints)
+        dev2 = np.abs(2 * x - (2.0 * m)).astype(np.int64)
+        return pa.table({"lang": batch["lang"], "dev2": pa.array(dev2)})
+
+    devs = ds.map_batches(dev_batch, batch_format="pyarrow")
+    mad2 = _sql_median(devs, "dev2", "lang")  # = 2 * MAD, exact
+
+    def flag(batch: pa.Table) -> pa.Table:
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        x = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.array([med[lg] for lg in lang], dtype=np.float64)
+        md = np.array([mad2[lg] for lg in lang], dtype=np.float64)
+        # |x - med| > 2*MAD  <=>  |2x - 2med| > 2 * (2*MAD); all terms are
+        # exactly representable doubles, so the comparison is bit-portable
+        out = np.abs(2 * x - 2.0 * m) > 2.0 * md
+        return batch.append_column("is_outlier", pa.array(out))
+
+    return ds.map_batches(flag, batch_format="pyarrow")

@@ -331,3 +331,159 @@ def key_row_number(
         }, schema=out_schema)
 
     return parts.groupby("_part").map_groups(sweep, batch_format="pyarrow")
+
+
+def key_rank(
+    ds,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    ntile: int = 4,
+    num_partitions: int = 16,
+):
+    """Per-key ranking family in ONE sweep — SQL ``RANK()`` /
+    ``DENSE_RANK()`` over ``value_col DESC`` plus ``NTILE(ntile)`` over
+    ``(value_col DESC, id)`` within each key (the per-host page-quality
+    ranking / per-user spend-quartile feature).  RANK and DENSE_RANK
+    depend only on the value ordering, so ties are engine-independent;
+    NTILE is position-based, so its order includes ``id_col`` to stay
+    deterministic across engines and cluster shapes.
+
+    ``value_col`` must be integer-exact (cents upstream).  Same
+    single-exchange shape as :func:`key_lag`: one crc32(key) exchange,
+    then every partition resolves ALL its keys in one
+    lexsort + boundary-vector pass — no per-key Python, no per-key frame.
+    Returns ``(id, key, value, rnk, dense_rnk, ntile_bucket)``.
+    """
+    if ntile < 1:
+        raise ValueError(f"ntile must be >= 1, got {ntile}")
+    from .partition import with_hash_partition
+
+    parts = with_hash_partition(ds, key_col, num_partitions)
+
+    def sweep(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_part"])
+        out_schema = pa.schema([
+            (id_col, pa.int64()),
+            (key_col, t[key_col].type),
+            (value_col, pa.int64()),
+            ("rnk", pa.int64()),
+            ("dense_rnk", pa.int64()),
+            ("ntile_bucket", pa.int64()),
+        ])
+        if not t.num_rows:
+            return out_schema.empty_table()
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        vals = t[value_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids = t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # DESC on value, ASC on id: lexsort is ascending, so negate values
+        order = np.lexsort((ids, -vals, keys))
+        k_s, v_s, i_s = keys[order], vals[order], ids[order]
+        n = len(k_s)
+        new_key = np.concatenate([[True], k_s[1:] != k_s[:-1]])
+        key_starts = np.flatnonzero(new_key)
+        start_of_key = np.repeat(
+            key_starts, np.diff(np.append(key_starts, n))
+        )
+        pos_in_key = np.arange(n, dtype=np.int64) - start_of_key
+        # RANK: 1 + rows strictly greater = the tie group's start offset
+        new_val = new_key | np.concatenate([[True], v_s[1:] != v_s[:-1]])
+        val_starts = np.flatnonzero(new_val)
+        start_of_val = np.repeat(
+            val_starts, np.diff(np.append(val_starts, n))
+        )
+        rnk = start_of_val - start_of_key + 1
+        # DENSE_RANK: distinct-value index within the key
+        dcum = np.cumsum(new_val)
+        dense = dcum - dcum[start_of_key] + 1
+        # NTILE(k): first (n % k) buckets get ceil(n/k) rows
+        n_of_key = np.repeat(
+            np.diff(np.append(key_starts, n)), np.diff(np.append(key_starts, n))
+        )
+        base = n_of_key // ntile
+        rem = n_of_key % ntile
+        boundary = rem * (base + 1)
+        in_big = pos_in_key < boundary
+        big = pos_in_key // np.maximum(base + 1, 1)
+        small = rem + (pos_in_key - boundary) // np.maximum(base, 1)
+        bucket = np.where(in_big, big, small) + 1
+        return pa.table({
+            id_col: pa.array(i_s, pa.int64()),
+            key_col: pa.array(k_s, t[key_col].type),
+            value_col: pa.array(v_s, pa.int64()),
+            "rnk": pa.array(rnk, pa.int64()),
+            "dense_rnk": pa.array(dense, pa.int64()),
+            "ntile_bucket": pa.array(bucket, pa.int64()),
+        }, schema=out_schema)
+
+    return parts.groupby("_part").map_groups(sweep, batch_format="pyarrow")
+
+
+def key_mode(
+    ds,
+    key_col: str,
+    cat_col: str,
+    num_partitions: int = 16,
+):
+    """Per-key modal category — "dominant language per host" / "most
+    frequent event type per user": the category with the highest count
+    per key, ties broken by the lexicographically smallest category
+    (deterministic; SQL ``QUALIFY row_number() OVER (PARTITION BY key
+    ORDER BY n DESC, cat) = 1``).
+
+    Two-level aggregation: per-batch (key, cat) partial counts shrink the
+    corpus to its (key x cat) support BEFORE the exchange, then one
+    crc32(key) exchange of thin count rows and a per-partition
+    lexsort argmax sweep.  Shuffle volume is the (key, cat) support, not
+    the event count.  Returns ``(key, cat, n)`` with ``n`` the winning
+    category's count.
+    """
+    from ray.data.aggregate import Sum
+
+    from .partition import with_hash_partition
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            (key_col, batch[key_col].type),
+            (cat_col, pa.string()),
+            ("n_p", pa.int64()),
+        ])
+        if not batch.num_rows:
+            return out_schema.empty_table()
+        return (
+            batch.select([key_col, cat_col])
+            .group_by([key_col, cat_col])
+            .aggregate([([], "count_all")])
+            .rename_columns([key_col, cat_col, "n_p"])
+            .cast(out_schema)
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, cat_col])
+        .aggregate(Sum("n_p", alias_name="n"))
+    )
+    parts = with_hash_partition(counts, key_col, num_partitions)
+
+    def argmax(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_part"])
+        out_schema = pa.schema([
+            (key_col, t[key_col].type),
+            (cat_col, t[cat_col].type),
+            ("n", pa.int64()),
+        ])
+        if not t.num_rows:
+            return out_schema.empty_table()
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        cats = t[cat_col].to_numpy(zero_copy_only=False)
+        ns = t["n"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # per key: highest n first, then smallest category string
+        order = np.lexsort((cats, -ns, keys))
+        k_s = keys[order]
+        first = np.concatenate([[True], k_s[1:] != k_s[:-1]])
+        pick = order[first]
+        return t.take(pa.array(pick)).select([key_col, cat_col, "n"]).cast(
+            out_schema
+        )
+
+    return parts.groupby("_part").map_groups(argmax, batch_format="pyarrow")

@@ -195,3 +195,126 @@ class TestKeyCumsum:
         want = self._run(rows, parts=1)
         for p in (3, 16):
             assert self._run(rows, parts=p) == want, p
+
+
+class TestKeyRank:
+    def _run(self, ray_session, rows, ntile=4, parts=4):
+        import ray.data as rd
+
+        from deepseek_ocr_customvllm_ray.stages.windows import key_rank
+
+        ks, vs, ids = zip(*rows)
+        t = pa.table({
+            "k": pa.array(ks, pa.string()),
+            "v": pa.array(vs, pa.int64()),
+            "id": pa.array(ids, pa.int64()),
+        })
+        out = key_rank(
+            rd.from_arrow(t).repartition(3), "k", "v", "id",
+            ntile=ntile, num_partitions=parts,
+        ).to_pandas()
+        return {
+            r.id: (r.rnk, r.dense_rnk, r.ntile_bucket)
+            for r in out.itertuples()
+        }
+
+    def test_rank_ties_and_gaps(self, ray_session):
+        # values desc: 30, 20, 20, 10 -> rank 1,2,2,4; dense 1,2,2,3
+        got = self._run(
+            ray_session,
+            [("a", 30, 1), ("a", 20, 2), ("a", 20, 3), ("a", 10, 4)],
+        )
+        assert got[1][:2] == (1, 1)
+        assert got[2][:2] == (2, 2)
+        assert got[3][:2] == (2, 2)
+        assert got[4][:2] == (4, 3)
+
+    def test_ntile_uneven_buckets(self, ray_session):
+        # 6 rows, ntile 4 -> bucket sizes 2,2,1,1 by (v desc, id)
+        rows = [("a", 60 - i, i) for i in range(6)]
+        got = self._run(ray_session, rows, ntile=4)
+        assert [got[i][2] for i in range(6)] == [1, 1, 2, 2, 3, 4]
+
+    def test_ntile_fewer_rows_than_buckets(self, ray_session):
+        rows = [("a", 9, 0), ("a", 8, 1)]
+        got = self._run(ray_session, rows, ntile=4)
+        assert [got[i][2] for i in range(2)] == [1, 2]
+
+    def test_keys_isolated(self, ray_session):
+        got = self._run(
+            ray_session, [("a", 5, 1), ("b", 9, 2), ("a", 7, 3)]
+        )
+        assert got[3] == (1, 1, 1) and got[1] == (2, 2, 2)
+        assert got[2] == (1, 1, 1)
+
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        rng = np.random.default_rng(11)
+        n = 400
+        ks = rng.choice(list("abcdefg"), size=n)
+        vs = rng.integers(0, 40, size=n)  # heavy ties
+        rows = [(str(ks[i]), int(vs[i]), i) for i in range(n)]
+        got = self._run(ray_session, rows, ntile=3, parts=5)
+        con = duckdb.connect()
+        con.register(
+            "t",
+            pd.DataFrame({"k": [r[0] for r in rows],
+                          "v": [r[1] for r in rows],
+                          "id": [r[2] for r in rows]}),
+        )
+        want = con.execute(
+            "SELECT id, RANK() OVER (PARTITION BY k ORDER BY v DESC) r,"
+            " DENSE_RANK() OVER (PARTITION BY k ORDER BY v DESC) d,"
+            " NTILE(3) OVER (PARTITION BY k ORDER BY v DESC, id) q FROM t"
+        ).fetchall()
+        for id_, r, d, q in want:
+            assert got[id_] == (r, d, q), id_
+
+
+class TestKeyMode:
+    def _run(self, ray_session, rows, parts=4):
+        import ray.data as rd
+
+        from deepseek_ocr_customvllm_ray.stages.windows import key_mode
+
+        ks, cs = zip(*rows)
+        t = pa.table({
+            "k": pa.array(ks, pa.int64()),
+            "c": pa.array(cs, pa.string()),
+        })
+        out = key_mode(
+            rd.from_arrow(t).repartition(3), "k", "c", num_partitions=parts
+        ).to_pandas()
+        return {r.k: (r.c, r.n) for r in out.itertuples()}
+
+    def test_majority_wins(self, ray_session):
+        got = self._run(
+            ray_session, [(1, "x"), (1, "y"), (1, "x"), (2, "z")]
+        )
+        assert got == {1: ("x", 2), 2: ("z", 1)}
+
+    def test_tie_breaks_lexicographically(self, ray_session):
+        got = self._run(ray_session, [(1, "b"), (1, "a"), (1, "b"), (1, "a")])
+        assert got == {1: ("a", 2)}
+
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        rng = np.random.default_rng(3)
+        rows = [
+            (int(rng.integers(0, 25)), str(rng.choice(list("uvwxyz"))))
+            for _ in range(600)
+        ]
+        got = self._run(ray_session, rows, parts=6)
+        con = duckdb.connect()
+        con.register(
+            "t", pd.DataFrame({"k": [r[0] for r in rows],
+                               "c": [r[1] for r in rows]})
+        )
+        want = con.execute(
+            "WITH cnt AS (SELECT k, c, count(*) n FROM t GROUP BY 1,2) "
+            "SELECT k, c, n FROM cnt QUALIFY row_number() OVER "
+            "(PARTITION BY k ORDER BY n DESC, c) = 1"
+        ).fetchall()
+        assert got == {k: (c, n) for k, c, n in want}
