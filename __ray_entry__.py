@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_event_type_per_user": q.q_top_event_type_per_user,
         "lang_source_rollup": q.q_lang_source_rollup,
         "source_lang_pivot": q.q_source_lang_pivot,
+        "host_components": q.q_host_components,
+        "events_lead_bounds": q.q_events_lead_bounds,
         "events_sessionize": q.q_events_sessionize,
         "source_median_chars": q.q_source_median_chars,
         # --- gated green in CORRECTNESS_r04 (driver rows on file) --------
@@ -373,6 +375,37 @@ def oracle_sql() -> dict[str, str]:
             "epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS delta_us "
             "FROM events WINDOW w AS "
             "(PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "host_components": (
+            # re-derives the synthetic in-group ring from doc_id, then
+            # resolves components with a recursive min-label closure;
+            # the transitive-closure row count is sum(|component|^2) —
+            # bounded because the synth pins 6 rings of 4 hosts
+            "WITH RECURSIVE "
+            "e AS (SELECT 'c' || CAST(doc_id % 24 AS VARCHAR) || "
+            "'.example' AS src, "
+            "'c' || CAST(((doc_id % 24) - ((doc_id % 24) % 4)) + "
+            "(((doc_id % 24) % 4) + 1) % 4 AS VARCHAR) || '.example' AS dst "
+            "FROM documents), "
+            "hosts AS (SELECT DISTINCT src AS node FROM e "
+            "UNION SELECT DISTINCT dst FROM e), "
+            "sym AS (SELECT DISTINCT src, dst FROM e "
+            "UNION SELECT DISTINCT dst, src FROM e), "
+            "cc AS (SELECT node, node AS label FROM hosts "
+            "UNION SELECT s.dst AS node, cc.label FROM cc "
+            "JOIN sym s ON s.src = cc.node) "
+            "SELECT node AS host, min(label) AS component FROM cc "
+            "GROUP BY node"
+        ),
+        "events_lead_bounds": (
+            "WITH e AS (SELECT event_id, user_id, ts, "
+            "CAST(floor(value * 100) AS BIGINT) AS cents FROM events) "
+            "SELECT event_id, user_id, ts, LEAD(ts) OVER w AS next_ts, "
+            "FIRST_VALUE(cents) OVER w2 AS first_value, "
+            "LAST_VALUE(cents) OVER w2 AS last_value FROM e "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id), "
+            "w2 AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
         ),
         "events_value_ranks": (
             # RANK/DENSE_RANK order by value only (tie-invariant across

@@ -247,6 +247,8 @@ def run_bench() -> dict:
     timed("lang_source_rollup", q.q_lang_source_rollup)
     timed("source_lang_pivot", q.q_source_lang_pivot)
     timed("length_mad_outliers", q.q_length_mad_outliers)
+    timed("events_lead_bounds", q.q_events_lead_bounds)
+    timed("host_components", q.q_host_components)
 
     out = {
         "metric": "extract_e2e_sec",

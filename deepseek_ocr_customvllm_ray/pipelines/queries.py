@@ -2262,3 +2262,70 @@ def q_length_mad_outliers(sf_dir: str):
         return batch.append_column("is_outlier", pa.array(out))
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def _synth_component_pages(sf_dir: str):
+    """documents rows -> pages rows whose host link graph has a KNOWN
+    multi-component structure (pure function of doc_id): 24 hosts
+    ``c<k>.example`` (k = doc_id % 24) in 6 groups of 4, each page linking
+    to the next host of its group's ring (``base + (k % 4 + 1) % 4`` with
+    ``base = k - k % 4``) — 6 components whose canonical label is the
+    lexicographically smallest member.  Relative nav links only add
+    self-edges.  The SQL oracle re-derives the same ring from doc_id."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        urls: list = []
+        payloads: list = []
+        for i in batch["doc_id"].to_pylist():
+            k = i % 24
+            dst = (k - k % 4) + (k % 4 + 1) % 4
+            html = (
+                "<html><head><title>d</title></head><body>"
+                '<nav><a href="/">Home</a> <a href="/a">Archive</a></nav>'
+                f'<p><a href="https://c{dst}.example/in">ring</a></p>'
+                "</body></html>"
+            )
+            urls.append(f"https://c{k}.example/d/{i}")
+            payloads.append(html.encode("utf-8"))
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "html": pa.array(payloads, pa.binary()),
+        })
+
+    return ds.map_batches(synth, batch_format="pyarrow")
+
+
+def q_host_components(sf_dir: str):
+    """Connected components of the host link graph (domain clustering —
+    mirror farms / site families): page links -> host edge rollup ->
+    pointer-jumping min-label propagation over thin int rows, component
+    label = lexicographically smallest member host."""
+    from ..stages.links import host_components, host_edges, page_out_links
+
+    edges = host_edges(page_out_links(_synth_component_pages(sf_dir)))
+    return host_components(edges, num_partitions=8)
+
+
+def q_events_lead_bounds(sf_dir: str):
+    """Per-user LEAD(ts) + FIRST_VALUE / LAST_VALUE over the whole user
+    partition (time-to-next-event and opening/closing spend) — completes
+    the SQL window family on the same single-exchange lexsort sweep."""
+    from ..stages.windows import key_lead_bounds
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(batch["value"], 100.0)), pa.int64())
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts": batch["ts"],
+            "value_cents": cents,
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    return key_lead_bounds(
+        prepped, "user_id", "ts", "event_id", "value_cents",
+        num_partitions=16,
+    )

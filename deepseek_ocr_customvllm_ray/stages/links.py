@@ -37,7 +37,7 @@ import pyarrow as pa
 
 __all__ = ["collect_links", "make_page_links_batch", "page_out_links",
            "host_edges", "host_in_links", "host_pagerank",
-           "host_pagerank_sharded"]
+           "host_pagerank_sharded", "host_components"]
 
 
 # Cap on accumulated anchor-text characters per link: bounds memory on
@@ -566,3 +566,71 @@ def host_pagerank_sharded(
         for s in shards:
             ray.kill(s)
     return pd.DataFrame({"host": hosts, "rank": r})
+
+
+def host_components(edges_ds, num_partitions: int = 16, max_rounds: int = 30):
+    """Undirected connected components of the host graph — the
+    domain-cluster signal (mirror farms, link rings, site families share a
+    component).  Input is the :func:`host_edges` table; output is one row
+    per edge-endpoint host: ``(host, component)`` with ``component`` the
+    LEXICOGRAPHICALLY smallest host of the component — a deterministic,
+    engine-independent canonical label.
+
+    Shape: the host universe is distinct-host-bounded (same ~10^7 ceiling
+    as :func:`host_pagerank`), so hosts factorize to dense int ids with
+    ONE distinct pass and a sorted broadcast table (sorted order makes
+    min-id == lexicographic-min); the component resolution itself is fully
+    distributed — :func:`..dedup.propagate_min_labels` pointer-jumping
+    min-label propagation, O(log diameter) exchanges of thin
+    ``(node, label)`` int rows.  Above the host-universe ceiling, swap the
+    broadcast factorization for a hash-partitioned string-min propagation
+    (same kernel keyed on the strings directly).
+    """
+    import numpy as np
+    import ray
+
+    from .dedup import propagate_min_labels
+
+    edges = edges_ds.materialize()
+
+    def hosts_partial(batch: pa.Table) -> pa.Table:
+        hs = np.unique(np.concatenate([
+            batch["src_host"].to_numpy(zero_copy_only=False),
+            batch["dst_host"].to_numpy(zero_copy_only=False),
+        ])) if batch.num_rows else np.array([], dtype=object)
+        return pa.table({"host": pa.array(hs.astype(object), pa.string())})
+
+    host_list = sorted(
+        edges.map_batches(hosts_partial, batch_format="pyarrow").unique("host")
+    )
+    id_of = {h: i for i, h in enumerate(host_list)}
+    fwd_ref = ray.put(id_of)
+    rev_ref = ray.put(np.asarray(host_list, dtype=object))
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        m = ray.get(fwd_ref)
+        return pa.table({
+            "id_a": pa.array(
+                [m[h] for h in batch["src_host"].to_pylist()], pa.int64()
+            ),
+            "id_b": pa.array(
+                [m[h] for h in batch["dst_host"].to_pylist()], pa.int64()
+            ),
+        })
+
+    labels = propagate_min_labels(
+        edges.map_batches(to_int, batch_format="pyarrow"),
+        num_partitions=num_partitions,
+        max_rounds=max_rounds,
+    )
+
+    def back(batch: pa.Table) -> pa.Table:
+        rev = ray.get(rev_ref)
+        node = batch["node"].to_numpy(zero_copy_only=False)
+        lab = batch["label"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "host": pa.array(rev[node].astype(object), pa.string()),
+            "component": pa.array(rev[lab].astype(object), pa.string()),
+        })
+
+    return labels.map_batches(back, batch_format="pyarrow")

@@ -487,3 +487,74 @@ def key_mode(
         )
 
     return parts.groupby("_part").map_groups(argmax, batch_format="pyarrow")
+
+
+def key_lead_bounds(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    num_partitions: int = 16,
+):
+    """Per-key LEAD + partition bounds in one sweep — SQL ``LEAD(ts)``
+    (next event's timestamp; the "time-to-next-crawl" feature) plus
+    ``FIRST_VALUE(v)`` / ``LAST_VALUE(v)`` over the WHOLE key partition
+    (``ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING`` —
+    the session's opening/closing value).  ``value_col`` must be
+    integer-exact (cents upstream).  Order within a key is
+    ``(ts, id)`` — deterministic under ties on any cluster shape.
+
+    Same single-exchange shape as :func:`key_lag`: one crc32(key)
+    exchange, one lexsort + boundary-vector pass per partition.
+    Returns ``(id, key, ts, next_ts, first_value, last_value)``.
+    """
+    from .partition import with_hash_partition
+
+    parts = with_hash_partition(ds, key_col, num_partitions)
+
+    def sweep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.drop_columns(["_part"])
+        ts_type = t[ts_col].type
+        if pa.types.is_timestamp(ts_type):
+            ts_type = pa.timestamp("us")
+            t = t.set_column(
+                t.schema.get_field_index(ts_col), ts_col,
+                pc.cast(t[ts_col], ts_type),
+            )
+        out_schema = pa.schema([
+            (id_col, pa.int64()),
+            (key_col, t[key_col].type),
+            (ts_col, ts_type),
+            ("next_ts", ts_type),
+            ("first_value", pa.int64()),
+            ("last_value", pa.int64()),
+        ])
+        if not t.num_rows:
+            return out_schema.empty_table()
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        ts = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        ids = t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vals = t[value_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts, keys))
+        k_s, t_s, i_s, v_s = keys[order], ts[order], ids[order], vals[order]
+        n = len(k_s)
+        new_key = np.concatenate([[True], k_s[1:] != k_s[:-1]])
+        key_starts = np.flatnonzero(new_key)
+        counts = np.diff(np.append(key_starts, n))
+        start_of_key = np.repeat(key_starts, counts)
+        end_of_key = np.repeat(key_starts + counts - 1, counts)
+        has_next = np.concatenate([k_s[1:] == k_s[:-1], [False]])
+        nxt = np.concatenate([t_s[1:], [0]])
+        return pa.table({
+            id_col: pa.array(i_s, pa.int64()),
+            key_col: pa.array(k_s, t[key_col].type),
+            ts_col: pa.array(t_s, pa.int64()).cast(ts_type),
+            "next_ts": pa.array(nxt, mask=~has_next).cast(ts_type),
+            "first_value": pa.array(v_s[start_of_key], pa.int64()),
+            "last_value": pa.array(v_s[end_of_key], pa.int64()),
+        }, schema=out_schema)
+
+    return parts.groupby("_part").map_groups(sweep, batch_format="pyarrow")

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 from deepseek_ocr_customvllm_ray.stages.links import (
@@ -351,3 +352,62 @@ class TestShardCpuSizing:
 
         with pytest.raises(ValueError):
             _shard_cpus(1.0, 20_000)
+
+
+class TestHostComponents:
+    def _run(self, ray_session, edges, parts=4):
+        import ray.data as rd
+
+        from deepseek_ocr_customvllm_ray.stages.links import host_components
+
+        t = pa.table({
+            "src_host": pa.array([e[0] for e in edges], pa.string()),
+            "dst_host": pa.array([e[1] for e in edges], pa.string()),
+            "n_links": pa.array([1] * len(edges), pa.int64()),
+        })
+        out = host_components(
+            rd.from_arrow(t).repartition(2), num_partitions=parts
+        ).to_pandas()
+        return dict(zip(out["host"], out["component"]))
+
+    def test_two_components_and_self_loop(self, ray_session):
+        got = self._run(ray_session, [
+            ("a.com", "b.com"), ("b.com", "c.com"),   # chain a-b-c
+            ("x.org", "y.org"),                       # pair
+            ("solo.net", "solo.net"),                 # self-loop only
+        ])
+        assert got == {
+            "a.com": "a.com", "b.com": "a.com", "c.com": "a.com",
+            "x.org": "x.org", "y.org": "x.org",
+            "solo.net": "solo.net",
+        }
+
+    def test_label_is_lexicographic_min(self, ray_session):
+        # numeric-suffix hosts: "h10" < "h4" lexicographically
+        got = self._run(ray_session, [("h4.x", "h10.x")])
+        assert got == {"h4.x": "h10.x", "h10.x": "h10.x"}
+
+    def test_matches_union_find(self, ray_session):
+        rng = np.random.default_rng(17)
+        hosts = [f"h{i:03d}.example" for i in range(60)]
+        edges = [
+            (hosts[int(rng.integers(0, 60))], hosts[int(rng.integers(0, 60))])
+            for _ in range(55)
+        ]
+        got = self._run(ray_session, edges, parts=5)
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {h for e in edges for h in e}
+        want = {h: find(h) for h in nodes}
+        assert got == want

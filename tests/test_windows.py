@@ -318,3 +318,84 @@ class TestKeyMode:
             "(PARTITION BY k ORDER BY n DESC, c) = 1"
         ).fetchall()
         assert got == {k: (c, n) for k, c, n in want}
+
+
+class TestKeyLeadBounds:
+    def _run(self, ray_session, rows, parts=4):
+        import ray.data as rd
+
+        from deepseek_ocr_customvllm_ray.stages.windows import key_lead_bounds
+
+        ks, ts, vs, ids = zip(*rows)
+        t = pa.table({
+            "k": pa.array(ks, pa.string()),
+            "ts": pa.array(
+                [dt.datetime(2026, 1, 1) + dt.timedelta(minutes=m) for m in ts],
+                pa.timestamp("us"),
+            ),
+            "v": pa.array(vs, pa.int64()),
+            "id": pa.array(ids, pa.int64()),
+        })
+        out = key_lead_bounds(
+            rd.from_arrow(t).repartition(3), "k", "ts", "id", "v",
+            num_partitions=parts,
+        ).to_pandas()
+        return {
+            r.id: (r.next_ts, r.first_value, r.last_value)
+            for r in out.itertuples()
+        }
+
+    def test_lead_null_on_last(self, ray_session):
+        got = self._run(
+            ray_session, [("a", 0, 10, 1), ("a", 5, 20, 2), ("b", 3, 7, 3)]
+        )
+        assert got[1][0] == pd.Timestamp(2026, 1, 1, 0, 5)
+        assert pd.isna(got[2][0]) and pd.isna(got[3][0])
+
+    def test_bounds_cover_whole_partition(self, ray_session):
+        got = self._run(
+            ray_session,
+            [("a", 2, 20, 1), ("a", 0, 10, 2), ("a", 9, 90, 3)],
+        )
+        # order by ts: id2(v=10) first, id3(v=90) last — for EVERY row
+        for i in (1, 2, 3):
+            assert got[i][1] == 10 and got[i][2] == 90
+
+    def test_ties_order_by_id(self, ray_session):
+        got = self._run(
+            ray_session, [("a", 0, 5, 2), ("a", 0, 6, 1)]
+        )
+        # tie on ts -> id 1 first: first_value=6, last_value=5
+        for i in (1, 2):
+            assert got[i][1] == 6 and got[i][2] == 5
+
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        rng = np.random.default_rng(5)
+        n = 300
+        rows = [
+            (str(rng.choice(list("abcde"))), int(rng.integers(0, 50)),
+             int(rng.integers(-20, 100)), i)
+            for i in range(n)
+        ]
+        got = self._run(ray_session, rows, parts=5)
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({
+            "k": [r[0] for r in rows],
+            "ts": [dt.datetime(2026, 1, 1) + dt.timedelta(minutes=r[1])
+                   for r in rows],
+            "v": [r[2] for r in rows],
+            "id": [r[3] for r in rows],
+        }))
+        want = con.execute(
+            "SELECT id, LEAD(ts) OVER w, FIRST_VALUE(v) OVER w2, "
+            "LAST_VALUE(v) OVER w2 FROM t "
+            "WINDOW w AS (PARTITION BY k ORDER BY ts, id), "
+            "w2 AS (PARTITION BY k ORDER BY ts, id ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+        ).fetchall()
+        for id_, nxt, fv, lv in want:
+            g = got[id_]
+            assert (pd.isna(g[0]) and nxt is None) or g[0] == nxt
+            assert (g[1], g[2]) == (fv, lv), id_
