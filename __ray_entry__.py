@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_pivot": q.q_source_lang_pivot,
         "host_components": q.q_host_components,
         "events_lead_bounds": q.q_events_lead_bounds,
+        "lineitem_revenue_pruned": q.q_lineitem_revenue_pruned,
         "events_sessionize": q.q_events_sessionize,
         "source_median_chars": q.q_source_median_chars,
         # --- gated green in CORRECTNESS_r04 (driver rows on file) --------
@@ -375,6 +376,16 @@ def oracle_sql() -> dict[str, str]:
             "epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS delta_us "
             "FROM events WINDOW w AS "
             "(PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "lineitem_revenue_pruned": (
+            # per-row floor to cents x basis points BEFORE the sum keeps
+            # the global total integer-exact and order-independent
+            "SELECT CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) * "
+            "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS revenue_u, count(*) AS n_rows FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
         ),
         "host_components": (
             # re-derives the synthetic in-group ring from doc_id, then

@@ -249,6 +249,7 @@ def run_bench() -> dict:
     timed("length_mad_outliers", q.q_length_mad_outliers)
     timed("events_lead_bounds", q.q_events_lead_bounds)
     timed("host_components", q.q_host_components)
+    timed("lineitem_revenue_pruned", q.q_lineitem_revenue_pruned)
 
     out = {
         "metric": "extract_e2e_sec",

@@ -2329,3 +2329,52 @@ def q_events_lead_bounds(sf_dir: str):
         prepped, "user_id", "ts", "event_id", "value_cents",
         num_partitions=16,
     )
+
+
+def q_lineitem_revenue_pruned(sf_dir: str):
+    """TPC-H Q6 shape with the predicate pushed INTO the parquet read:
+    ``read_parquet(columns=[price, discount], filter=shipdate-year &
+    discount-band & quantity)`` prunes row groups and columns at the scan
+    (the "prune at the read" rule — filter columns never enter the
+    pipeline).  Revenue is integer-exact (cents x basis points, floored
+    per row before the sum) so the global total is order-independent."""
+    import datetime as dt
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    f = (
+        (pads.field("l_shipdate") >= dt.datetime(1997, 1, 1))
+        & (pads.field("l_shipdate") < dt.datetime(1998, 1, 1))
+        & (pads.field("l_discount") >= 0.05)
+        & (pads.field("l_discount") <= 0.07)
+        & (pads.field("l_quantity") < 24.0)
+    )
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_discount"],
+        filter=f,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        bp = np.floor(
+            batch["l_discount"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({
+            "rev_p": pa.array([int((cents * bp).sum())], pa.int64()),
+            "n_p": pa.array([batch.num_rows], pa.int64()),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("rev_p", alias_name="revenue_u"), Sum("n_p", alias_name="n_rows")
+    )
+    import pandas as pd
+
+    return pd.DataFrame({
+        "revenue_u": [int(agg["revenue_u"] or 0)],
+        "n_rows": [int(agg["n_rows"] or 0)],
+    })

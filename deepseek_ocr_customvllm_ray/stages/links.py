@@ -200,16 +200,20 @@ def host_edges(links_ds, agg_blocks: int = 1):
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        agg: dict = {}
-        for s, d in zip(batch["src_host"].to_pylist(), batch["dst_host"].to_pylist()):
-            key = (s, d)
-            agg[key] = agg.get(key, 0) + 1
-        rows = sorted(agg.items())
-        return pa.table({
-            "src_host": pa.array([k[0] for k, _ in rows], pa.string()),
-            "dst_host": pa.array([k[1] for k, _ in rows], pa.string()),
-            "n_p": pa.array([v for _, v in rows], pa.int64()),
-        })
+        out_schema = pa.schema([
+            ("src_host", pa.string()),
+            ("dst_host", pa.string()),
+            ("n_p", pa.int64()),
+        ])
+        if not batch.num_rows:
+            return out_schema.empty_table()
+        return (
+            batch.select(["src_host", "dst_host"])
+            .group_by(["src_host", "dst_host"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["src_host", "dst_host", "n_p"])
+            .cast(out_schema)
+        )
 
     out = (
         links_ds.map_batches(partial, batch_format="pyarrow")
