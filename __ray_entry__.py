@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_components": q.q_host_components,
         "events_lead_bounds": q.q_events_lead_bounds,
         "lineitem_revenue_pruned": q.q_lineitem_revenue_pruned,
+        "token_entropy": q.q_token_entropy,
         "events_sessionize": q.q_events_sessionize,
         "source_median_chars": q.q_source_median_chars,
         # --- gated green in CORRECTNESS_r04 (driver rows on file) --------
@@ -376,6 +377,25 @@ def oracle_sql() -> dict[str, str]:
             "epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS delta_us "
             "FROM events WINDOW w AS "
             "(PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "token_entropy": (
+            # each c*ln(c) term quantizes to fixed-point BEFORE the sum
+            # (exact int64 per doc); entropy is then one double expression
+            # of exact ints, written identically to the numpy kernel
+            "WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text, "
+            "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), "
+            "'\\s+')) AS token FROM documents WHERE trim(text, ' ' || chr(9) "
+            "|| chr(10) || chr(11) || chr(12) || chr(13)) <> ''), "
+            "c AS (SELECT doc_id, token, count(*) AS c FROM t "
+            "GROUP BY doc_id, token), "
+            "s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, "
+            "CAST(sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) "
+            "* 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS clnc_q20 "
+            "FROM c GROUP BY doc_id) "
+            "SELECT doc_id, n_tokens, clnc_q20, "
+            "(CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1048576.0 + 0.5) "
+            "AS BIGINT) - clnc_q20 / CAST(n_tokens AS DOUBLE)) / 1048576.0 "
+            "AS entropy FROM s"
         ),
         "lineitem_revenue_pruned": (
             # per-row floor to cents x basis points BEFORE the sum keeps

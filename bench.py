@@ -250,6 +250,7 @@ def run_bench() -> dict:
     timed("events_lead_bounds", q.q_events_lead_bounds)
     timed("host_components", q.q_host_components)
     timed("lineitem_revenue_pruned", q.q_lineitem_revenue_pruned)
+    timed("token_entropy", q.q_token_entropy)
 
     out = {
         "metric": "extract_e2e_sec",

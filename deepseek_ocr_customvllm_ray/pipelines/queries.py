@@ -2378,3 +2378,14 @@ def q_lineitem_revenue_pruned(sf_dir: str):
         "revenue_u": [int(agg["revenue_u"] or 0)],
         "n_rows": [int(agg["n_rows"] or 0)],
     })
+
+
+def q_token_entropy(sf_dir: str):
+    """Per-doc Shannon entropy of the token distribution (information-
+    density quality signal) — fixed-point-exact c*ln(c) fold, one map
+    pass (stages.analysis.make_token_entropy_batch)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        analysis.make_token_entropy_batch("text", "doc_id"),
+        batch_format="pyarrow",
+    )

@@ -709,3 +709,63 @@ def doc_top_terms(ds, text_col: str, id_col: str, k: int = 5):
         })
 
     return ds.map_batches(topk, batch_format="pyarrow")
+
+
+def make_token_entropy_batch(text_col: str, id_col: str):
+    """Per-doc Shannon entropy of the whitespace-token distribution (the
+    information-density quality signal: near-zero entropy = keyword-stuffed
+    or template spam).  ``H = ln(n) - (1/n) * sum_t c_t ln c_t``; each
+    ``c ln c`` term is quantized to fixed-point BEFORE the sum
+    (``floor(c * ln(c) * 2^20 + 0.5)``, the ``stages/lm.py`` idiom) so
+    the per-doc aggregate is an exact int64 and the cross-engine contract
+    is bit-identical; ``entropy`` is then ONE double expression of exact
+    ints, written identically in the SQL oracle.
+
+    Vectorized: one regex split per batch, token factorization with
+    ``np.unique``, per-(doc, token) counts via a combined-code unique, the
+    per-doc fold via ``np.bincount`` — map-only, no per-row Python beyond
+    the inherent string split.  Empty / null texts drop (the oracle's
+    unnest produces no row for them)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "clnc_q20": pa.array([], pa.int64()),
+            "entropy": pa.array([], pa.float64()),
+        })
+        trimmed = pc.utf8_trim_whitespace(batch[text_col])
+        keep = pc.fill_null(pc.greater(pc.utf8_length(trimmed), 0), False)
+        ids = batch[id_col].filter(keep).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        lists = pc.split_pattern_regex(trimmed.filter(keep), pattern=r"\s+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        n_docs = len(lists)
+        if n_docs == 0:
+            return empty
+        offsets = lists.offsets.to_numpy().astype(np.int64)
+        offsets = offsets - offsets[0]
+        counts = offsets[1:] - offsets[:-1]
+        words = np.asarray(lists.flatten().to_pylist(), dtype=object)
+        vocab, codes = np.unique(words, return_inverse=True)
+        doc_ix = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        pair, c = np.unique(doc_ix * len(vocab) + codes, return_counts=True)
+        p_doc = pair // len(vocab)
+        cf = c.astype(np.float64)
+        q = np.floor(cf * np.log(cf) * 1048576.0 + 0.5).astype(np.int64)
+        clnc = np.bincount(p_doc, weights=q, minlength=n_docs).astype(np.int64)
+        nf = counts.astype(np.float64)
+        # quantize ln(n) too: numpy's vectorized log and SQL ln differ in
+        # the last ulp, so the final expression must be ints-only
+        ln_n_q20 = np.floor(np.log(nf) * 1048576.0 + 0.5).astype(np.int64)
+        entropy = (ln_n_q20 - clnc / nf) / 1048576.0
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(counts, pa.int64()),
+            "clnc_q20": pa.array(clnc, pa.int64()),
+            "entropy": pa.array(entropy, pa.float64()),
+        })
+
+    return fn

@@ -350,3 +350,46 @@ class TestCompressionStats:
         a = self._run(["hello world " * 10])
         b = self._run(["hello world " * 10])
         assert a == b
+
+
+class TestTokenEntropy:
+    def _run(self, texts):
+        t = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        return analysis.make_token_entropy_batch("text", "doc_id")(t)
+
+    def test_hand_computed(self):
+        import math
+
+        out = self._run(["a a b"])
+        assert out["n_tokens"].to_pylist() == [3]
+        q = math.floor(2 * math.log(2.0) * 1048576.0 + 0.5)  # c=2 term; ln(1)=0
+        assert out["clnc_q20"].to_pylist() == [q]
+        ln3_q = math.floor(math.log(3.0) * 1048576.0 + 0.5)
+        assert out["entropy"].to_pylist() == [(ln3_q - q / 3.0) / 1048576.0]
+
+    def test_uniform_vs_repetitive(self):
+        out = self._run(["a b c d e f g h", "x x x x x x x x"])
+        ent = out["entropy"].to_pylist()
+        assert ent[0] > 2.0  # ln(8) ~ 2.08, all distinct
+        assert abs(ent[1]) < 1e-5  # single repeated token -> ~0
+
+    def test_empty_and_null_dropped(self):
+        out = self._run(["", None, "one two"])
+        assert out["doc_id"].to_pylist() == [2]
+
+    def test_batch_split_invariance(self):
+        texts = [f"w{i % 5} common w{i % 3}" for i in range(40)]
+        whole = self._run(texts)
+        parts = [self._run(texts[:13]), self._run(texts[13:])]
+        merged = pa.concat_tables([
+            parts[0],
+            parts[1].set_column(
+                0, "doc_id",
+                pa.array([i + 13 for i in parts[1]["doc_id"].to_pylist()],
+                         pa.int64()),
+            ),
+        ])
+        assert whole.equals(merged)
