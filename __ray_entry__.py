@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lead_bounds": q.q_events_lead_bounds,
         "lineitem_revenue_pruned": q.q_lineitem_revenue_pruned,
         "token_entropy": q.q_token_entropy,
+        "events_funnel": q.q_events_funnel,
         "events_sessionize": q.q_events_sessionize,
         "source_median_chars": q.q_source_median_chars,
         # --- gated green in CORRECTNESS_r04 (driver rows on file) --------
@@ -377,6 +378,25 @@ def oracle_sql() -> dict[str, str]:
             "epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS delta_us "
             "FROM events WINDOW w AS "
             "(PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "events_funnel": (
+            # step k = min ts of its type STRICTLY AFTER step k-1; a
+            # user appears once, nulls cascade from the first miss
+            "WITH u AS (SELECT DISTINCT user_id FROM events), "
+            "s1 AS (SELECT user_id, min(ts) AS t_view FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "s2 AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e "
+            "JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t_view "
+            "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+            "s3 AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e "
+            "JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t_click "
+            "WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+            "SELECT u.user_id, t_view, t_click, t_purchase, "
+            "CASE WHEN t_purchase IS NOT NULL THEN 3 "
+            "WHEN t_click IS NOT NULL THEN 2 "
+            "WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS n_steps "
+            "FROM u LEFT JOIN s1 USING (user_id) "
+            "LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"
         ),
         "token_entropy": (
             # each c*ln(c) term quantizes to fixed-point BEFORE the sum

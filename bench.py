@@ -251,6 +251,7 @@ def run_bench() -> dict:
     timed("host_components", q.q_host_components)
     timed("lineitem_revenue_pruned", q.q_lineitem_revenue_pruned)
     timed("token_entropy", q.q_token_entropy)
+    timed("events_funnel", q.q_events_funnel)
 
     out = {
         "metric": "extract_e2e_sec",

@@ -2389,3 +2389,17 @@ def q_token_entropy(sf_dir: str):
         analysis.make_token_entropy_batch("text", "doc_id"),
         batch_format="pyarrow",
     )
+
+
+def q_events_funnel(sf_dir: str):
+    """Per-user ordered conversion funnel view -> click -> purchase (each
+    step's completion = min event time strictly after the previous step):
+    one key exchange, three vectorized masked segmented-min passes — the
+    product-analytics pattern over the events stream."""
+    from ..stages.windows import key_funnel
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return key_funnel(
+        ds, "user_id", "ts", "event_type",
+        steps=["view", "click", "purchase"], num_partitions=16,
+    )

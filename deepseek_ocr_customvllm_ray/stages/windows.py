@@ -558,3 +558,75 @@ def key_lead_bounds(
         }, schema=out_schema)
 
     return parts.groupby("_part").map_groups(sweep, batch_format="pyarrow")
+
+
+def key_funnel(
+    ds,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+    num_partitions: int = 16,
+):
+    """Ordered conversion funnel per key — step k completes at the MIN
+    event time of type ``steps[k]`` STRICTLY AFTER step k-1's completion
+    (the product-analytics "view -> click -> purchase" question, and the
+    crawl-ops "discovered -> fetched -> extracted" question).  Returns one
+    row per key: ``(key, t_<step>..., n_steps)`` with null timestamps from
+    the first unreached step on (an earlier-step event after a later gap
+    can never resurrect the chain — the mask cascades).
+
+    Same single-exchange shape as :func:`key_lag`: one crc32(key)
+    exchange, then every partition resolves ALL its keys in
+    ``len(steps)`` vectorized masked segmented-min passes
+    (``np.minimum.at`` over key codes) — no per-key Python, no sort even:
+    segmented min needs no ordering.  Deterministic: min is
+    order-independent, ties irrelevant (strict > between steps).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    from .partition import with_hash_partition
+
+    parts = with_hash_partition(ds, key_col, num_partitions)
+
+    def sweep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.drop_columns(["_part"])
+        ts_type = t[ts_col].type
+        if pa.types.is_timestamp(ts_type):
+            ts_type = pa.timestamp("us")
+            t = t.set_column(
+                t.schema.get_field_index(ts_col), ts_col,
+                pc.cast(t[ts_col], ts_type),
+            )
+        out_schema = pa.schema(
+            [(key_col, t[key_col].type)]
+            + [("t_" + s, ts_type) for s in steps]
+            + [("n_steps", pa.int64())]
+        )
+        if not t.num_rows:
+            return out_schema.empty_table()
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        ts = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        types = t[type_col].to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(keys, return_inverse=True)
+        n_keys = len(uniq)
+        prev = np.full(n_keys, -np.inf)
+        cols = {key_col: pa.array(uniq, t[key_col].type)}
+        n_steps = np.zeros(n_keys, dtype=np.int64)
+        tsf = ts.astype(np.float64)  # exact for any epoch-us magnitude
+        for s in steps:
+            cur = np.full(n_keys, np.inf)
+            mask = (types == s) & (tsf > prev[codes])
+            np.minimum.at(cur, codes[mask], tsf[mask])
+            reached = np.isfinite(cur)
+            n_steps += reached.astype(np.int64)
+            cols["t_" + s] = pa.array(
+                np.where(reached, cur, 0).astype(np.int64), mask=~reached
+            ).cast(ts_type)
+            prev = cur
+        cols["n_steps"] = pa.array(n_steps, pa.int64())
+        return pa.table(cols, schema=out_schema)
+
+    return parts.groupby("_part").map_groups(sweep, batch_format="pyarrow")

@@ -399,3 +399,59 @@ class TestKeyLeadBounds:
             g = got[id_]
             assert (pd.isna(g[0]) and nxt is None) or g[0] == nxt
             assert (g[1], g[2]) == (fv, lv), id_
+
+
+class TestKeyFunnel:
+    def _run(self, ray_session, rows, steps=("A", "B", "C"), parts=4):
+        import ray.data as rd
+
+        from deepseek_ocr_customvllm_ray.stages.windows import key_funnel
+
+        ks, ts, cs = zip(*rows)
+        t = pa.table({
+            "k": pa.array(ks, pa.int64()),
+            "ts": pa.array(
+                [dt.datetime(2026, 1, 1) + dt.timedelta(minutes=m) for m in ts],
+                pa.timestamp("us"),
+            ),
+            "c": pa.array(cs, pa.string()),
+        })
+        out = key_funnel(
+            rd.from_arrow(t).repartition(3), "k", "ts", "c",
+            steps=list(steps), num_partitions=parts,
+        ).to_pandas()
+        return {r.k: r for r in out.itertuples()}
+
+    def test_full_funnel(self, ray_session):
+        got = self._run(ray_session, [(1, 0, "A"), (1, 5, "B"), (1, 9, "C")])
+        r = got[1]
+        assert r.n_steps == 3
+        assert r.t_A == pd.Timestamp(2026, 1, 1, 0, 0)
+        assert r.t_C == pd.Timestamp(2026, 1, 1, 0, 9)
+
+    def test_out_of_order_does_not_count(self, ray_session):
+        # B happens BEFORE the first A -> funnel stalls at step 1
+        got = self._run(ray_session, [(1, 5, "A"), (1, 2, "B"), (1, 9, "C")])
+        r = got[1]
+        assert r.n_steps == 1 and pd.isna(r.t_B) and pd.isna(r.t_C)
+
+    def test_strictly_after(self, ray_session):
+        # same-timestamp B does not complete step 2 (strict >)
+        got = self._run(ray_session, [(1, 3, "A"), (1, 3, "B")])
+        assert got[1].n_steps == 1
+
+    def test_min_after_prev_step(self, ray_session):
+        # two Bs after A: the earlier one wins; C after it completes
+        got = self._run(
+            ray_session,
+            [(1, 0, "A"), (1, 8, "B"), (1, 4, "B"), (1, 6, "C"), (1, 2, "C")],
+        )
+        r = got[1]
+        assert r.t_B == pd.Timestamp(2026, 1, 1, 0, 4)
+        assert r.t_C == pd.Timestamp(2026, 1, 1, 0, 6)
+        assert r.n_steps == 3
+
+    def test_no_first_step(self, ray_session):
+        got = self._run(ray_session, [(1, 0, "B"), (1, 1, "C"), (2, 0, "A")])
+        assert got[1].n_steps == 0 and pd.isna(got[1].t_A)
+        assert got[2].n_steps == 1
