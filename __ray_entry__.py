@@ -495,7 +495,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "length_mad_outliers": (
             # median(BIGINT) interpolates in exact halves (float64-exact),
-            # so dev / mad / the 3x comparison are bit-portable
+            # so dev / mad / the 2x comparison are bit-portable
             "WITH m AS (SELECT lang, median(n_chars) AS med "
             "FROM documents GROUP BY lang), "
             "d AS (SELECT doc_id, lang, n_chars, abs(n_chars - med) AS dev "

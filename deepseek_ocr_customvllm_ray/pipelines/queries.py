@@ -2123,12 +2123,12 @@ def q_top_event_type_per_user(sf_dir: str):
 
 def q_lang_source_rollup(sf_dir: str):
     """OLAP ROLLUP(lang, source): leaf aggregate + lang subtotals + grand
-    total.  One per-batch partial-count pass and one tiny groupby produce
-    the |langs|x|sources| leaf table; the two upper rollup levels are
-    derived from that leaf aggregate (KB-scale, driver-side by design —
-    the corpus is never re-read or re-shuffled per level)."""
-    from ray.data.aggregate import Sum
-
+    total.  One per-batch partial-count pass (Arrow ``group_by`` — a NULL
+    lang/source is a real SQL group and survives as its own key) shrinks
+    the corpus to <= |langs| x |sources| rows per batch; the fold and
+    both upper rollup levels resolve driver-side on that KB-scale partial
+    table (``dropna=False`` — Ray's sort-based groupby cannot exchange
+    null string keys, and SQL keeps them), never re-reading the corpus."""
     ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -2142,27 +2142,34 @@ def q_lang_source_rollup(sf_dir: str):
             return out_schema.empty_table()
         return (
             batch.group_by(["lang", "source"])
-            .aggregate([("n_chars", "count"), ("n_chars", "sum")])
+            .aggregate([([], "count_all"), ("n_chars", "sum")])
             .rename_columns(["lang", "source", "n_docs_p", "total_chars_p"])
             .cast(out_schema)
         )
 
-    leaf = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["lang", "source"])
-        .aggregate(
-            Sum("n_docs_p", alias_name="n_docs"),
-            Sum("total_chars_p", alias_name="total_chars"),
-        )
-    ).to_pandas()
-
     import pandas as pd
 
-    by_lang = (
-        leaf.groupby("lang", as_index=False)[["n_docs", "total_chars"]]
-        .sum()
-        .assign(source=None)
-    )
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+
+    def _none_keys(df, cols):
+        # object-dtype None (not float NaN): the hash contract stringifies
+        # cells, and DuckDB NULL surfaces as None
+        for c in cols:
+            df[c] = df[c].astype(object).where(pd.notna(df[c]), None)
+        return df
+
+    leaf = _none_keys(
+        parts.groupby(["lang", "source"], dropna=False, as_index=False)[
+            ["n_docs_p", "total_chars_p"]
+        ].sum(),
+        ["lang", "source"],
+    ).rename(columns={"n_docs_p": "n_docs", "total_chars_p": "total_chars"})
+    by_lang = _none_keys(
+        leaf.groupby("lang", dropna=False, as_index=False)[
+            ["n_docs", "total_chars"]
+        ].sum(),
+        ["lang"],
+    ).assign(source=None)
     grand = pd.DataFrame({
         "lang": [None],
         "source": [None],
@@ -2179,9 +2186,11 @@ def q_source_lang_pivot(sf_dir: str):
     """Pivot: one row per source with per-language doc counts as columns
     (the corpus-composition dashboard shape).  The lang domain is the
     corpus's fixed 5-language set; counts are one-hot int columns summed
-    by a per-batch Arrow group_by partial + one tiny groupby."""
-    from ray.data.aggregate import Sum
-
+    by a per-batch Arrow group_by partial (NULL source stays a real group,
+    NULL lang counts toward n_docs only — count(*) FILTER semantics), then
+    a driver-side fold of the <= |sources| x batches partial rows
+    (``dropna=False``; Ray's sort-based groupby cannot exchange null
+    string keys, and SQL keeps them)."""
     langs = ["de", "en", "es", "fr", "zh"]
     ds = _read(sf_dir, "documents", ["lang", "source"])
 
@@ -2189,8 +2198,9 @@ def q_source_lang_pivot(sf_dir: str):
         cols = {"source": batch["source"]}
         lang = batch["lang"]
         for lg in langs:
-            cols["n_" + lg] = pc.cast(
-                pc.equal(lang, pa.scalar(lg)), pa.int64()
+            # fill_null: a NULL lang is FILTER-false, not sum-poisoning
+            cols["n_" + lg] = pc.fill_null(
+                pc.cast(pc.equal(lang, pa.scalar(lg)), pa.int64()), 0
             )
         cols["n_docs"] = pa.array(
             np.ones(batch.num_rows, dtype=np.int64), pa.int64()
@@ -2200,18 +2210,20 @@ def q_source_lang_pivot(sf_dir: str):
             t.group_by(["source"])
             .aggregate([("n_" + lg, "sum") for lg in langs] + [("n_docs", "sum")])
             .rename_columns(
-                ["source"] + ["n_" + lg + "_p" for lg in langs] + ["n_docs_p"]
+                ["source"] + ["n_" + lg for lg in langs] + ["n_docs"]
             )
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("source")
-        .aggregate(
-            *[Sum("n_" + lg + "_p", alias_name="n_" + lg) for lg in langs],
-            Sum("n_docs_p", alias_name="n_docs"),
-        )
+    import pandas as pd
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("source", dropna=False, as_index=False)[
+        ["n_" + lg for lg in langs] + ["n_docs"]
+    ].sum()
+    out["source"] = out["source"].astype(object).where(
+        pd.notna(out["source"]), None
     )
+    return out.astype({c: "int64" for c in out.columns if c != "source"})
 
 
 def q_length_mad_outliers(sf_dir: str):
@@ -2240,10 +2252,31 @@ def q_length_mad_outliers(sf_dir: str):
 
     med = _sql_median(ds, "n_chars", "lang")
 
+    def _lookup(table: dict, lang_arr: np.ndarray) -> np.ndarray:
+        # dict probes once per DISTINCT lang, then a vectorized gather —
+        # no per-row Python; a lang with no finite values maps to NaN
+        # (SQL: its median is NULL, so every comparison is NULL)
+        uniq, inv = np.unique(lang_arr, return_inverse=True)
+        vals = np.array(
+            [table.get(u, np.nan) for u in uniq], dtype=np.float64
+        )
+        return vals[inv]
+
     def dev_batch(batch: pa.Table) -> pa.Table:
+        # SQL shape: JOIN m USING (lang) drops NULL-lang rows, and a NULL
+        # dev (NULL n_chars) is skipped by median() — filter both here
+        keep = pc.and_(
+            pc.is_valid(batch["lang"]), pc.is_valid(batch["n_chars"])
+        )
+        batch = batch.filter(keep)
+        if not batch.num_rows:
+            return pa.table({
+                "lang": pa.array([], pa.string()),
+                "dev2": pa.array([], pa.int64()),
+            })
         lang = batch["lang"].to_numpy(zero_copy_only=False)
         x = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = np.array([med[lg] for lg in lang], dtype=np.float64)
+        m = _lookup(med, lang)
         # |2x - 2m| is integer-valued (2m = sum of the two middle ints)
         dev2 = np.abs(2 * x - (2.0 * m)).astype(np.int64)
         return pa.table({"lang": batch["lang"], "dev2": pa.array(dev2)})
@@ -2252,14 +2285,24 @@ def q_length_mad_outliers(sf_dir: str):
     mad2 = _sql_median(devs, "dev2", "lang")  # = 2 * MAD, exact
 
     def flag(batch: pa.Table) -> pa.Table:
+        # NULL-lang rows drop (JOIN USING); NULL n_chars rows stay with a
+        # NULL flag (their dev is NULL in SQL)
+        batch = batch.filter(pc.is_valid(batch["lang"]))
+        if not batch.num_rows:
+            return batch.append_column(
+                "is_outlier", pa.array([], pa.bool_())
+            )
         lang = batch["lang"].to_numpy(zero_copy_only=False)
-        x = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = np.array([med[lg] for lg in lang], dtype=np.float64)
-        md = np.array([mad2[lg] for lg in lang], dtype=np.float64)
+        x = pc.cast(batch["n_chars"], pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        m = _lookup(med, lang)
+        md = _lookup(mad2, lang)
         # |x - med| > 2*MAD  <=>  |2x - 2med| > 2 * (2*MAD); all terms are
         # exactly representable doubles, so the comparison is bit-portable
         out = np.abs(2 * x - 2.0 * m) > 2.0 * md
-        return batch.append_column("is_outlier", pa.array(out))
+        null = np.isnan(x) | np.isnan(m) | np.isnan(md)
+        return batch.append_column("is_outlier", pa.array(out, mask=null))
 
     return ds.map_batches(flag, batch_format="pyarrow")
 

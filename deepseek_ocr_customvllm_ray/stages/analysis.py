@@ -734,7 +734,10 @@ def make_token_entropy_batch(text_col: str, id_col: str):
             "clnc_q20": pa.array([], pa.int64()),
             "entropy": pa.array([], pa.float64()),
         })
-        trimmed = pc.utf8_trim_whitespace(batch[text_col])
+        # ASCII trim, exactly the oracle's trim(text, ' \t\n\v\f\r') —
+        # utf8_trim_whitespace would also strip NBSP/U+3000 edges and
+        # diverge from the SQL on non-ASCII whitespace
+        trimmed = pc.ascii_trim_whitespace(batch[text_col])
         keep = pc.fill_null(pc.greater(pc.utf8_length(trimmed), 0), False)
         ids = batch[id_col].filter(keep).cast(pa.int64()).to_numpy(
             zero_copy_only=False
@@ -748,14 +751,23 @@ def make_token_entropy_batch(text_col: str, id_col: str):
         offsets = lists.offsets.to_numpy().astype(np.int64)
         offsets = offsets - offsets[0]
         counts = offsets[1:] - offsets[:-1]
-        words = np.asarray(lists.flatten().to_pylist(), dtype=object)
-        vocab, codes = np.unique(words, return_inverse=True)
+        # token identity via dictionary codes (vectorized C) — the strings
+        # themselves never matter, only the per-(doc, token) counts
+        flat = lists.flatten()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_vocab = len(enc.dictionary)
         doc_ix = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
-        pair, c = np.unique(doc_ix * len(vocab) + codes, return_counts=True)
-        p_doc = pair // len(vocab)
+        pair, c = np.unique(doc_ix * n_vocab + codes, return_counts=True)
+        p_doc = pair // n_vocab
         cf = c.astype(np.float64)
         q = np.floor(cf * np.log(cf) * 1048576.0 + 0.5).astype(np.int64)
-        clnc = np.bincount(p_doc, weights=q, minlength=n_docs).astype(np.int64)
+        # int64 accumulator (bincount's float64 weights would round past
+        # 2^53 and break the exact-int contract)
+        clnc = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(clnc, p_doc, q)
         nf = counts.astype(np.float64)
         # quantize ln(n) too: numpy's vectorized log and SQL ln differ in
         # the last ulp, so the final expression must be ints-only

@@ -151,3 +151,110 @@ def test_distinct_langs_null_group_semantics(ray_session, tmp_path):
     want = {s: int(n) for s, n in oracle}
     assert got == want
     assert want == {"web": 2, None: 1, "wiki": 0, "books": 0}
+
+
+def _write_docs(tmp_path, rows):
+    """rows: (doc_id, text, lang, source, n_chars)."""
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array([r[3] for r in rows], pa.string()),
+        "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+    })
+    d = tmp_path / "nulldocs"
+    d.mkdir(exist_ok=True)
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_rollup_null_lang_and_source_groups(ray_session, tmp_path):
+    """SQL GROUP BY ROLLUP keeps NULL lang/source as real groups distinct
+    from the rollup's own NULL subtotal markers (round-5 review repro:
+    Ray's sort-based groupby TypeErrors on null string keys, and a
+    dropna pandas fold loses the NULL-lang subtotal)."""
+    from deepseek_ocr_customvllm_ray.pipelines.queries import (
+        q_lang_source_rollup,
+    )
+
+    sf = _write_docs(tmp_path, [
+        (1, "a", "en", "s1", 10),
+        (2, "b", "en", None, 20),
+        (3, "c", None, "s1", 30),
+        (4, "d", None, None, 40),
+    ])
+    out = q_lang_source_rollup(sf)
+    rows = {
+        (r.lang, r.source): (r.n_docs, r.total_chars)
+        for r in out.itertuples()
+    }
+    # leaf level: the (None, None) LEAF group (doc 4) is folded together
+    # with the rollup subtotals by the hash contract's stringification,
+    # exactly as DuckDB ROLLUP emits them; spot-check the unambiguous keys
+    assert rows[("en", "s1")] == (1, 10)
+    assert rows[("en", None)] >= (1, 20)  # leaf + en subtotal share key shape
+    assert rows[(None, "s1")] == (1, 30)
+    # totals: grand total row sums everything exactly once
+    assert out["n_docs"].sum() == 4 * 3  # each doc counted at 3 levels
+    # cross-engine: identical to DuckDB ROLLUP on the same table
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(
+        "SELECT lang, source, count(*) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+        "FROM documents GROUP BY ROLLUP(lang, source)"
+    ).df()
+    got_rows = sorted(
+        tuple(str(v) for v in r)
+        for r in out[sorted(out.columns)].itertuples(index=False, name=None)
+    )
+    want = want[sorted(want.columns)]
+    want_rows = sorted(
+        tuple(str(v) for v in r)
+        for r in want.itertuples(index=False, name=None)
+    )
+    assert got_rows == want_rows
+
+
+def test_pivot_null_source_group(ray_session, tmp_path):
+    from deepseek_ocr_customvllm_ray.pipelines.queries import (
+        q_source_lang_pivot,
+    )
+
+    sf = _write_docs(tmp_path, [
+        (1, "a", "en", None, 10),
+        (2, "b", None, None, 20),
+        (3, "c", "de", "s1", 30),
+    ])
+    out = q_source_lang_pivot(sf)
+    rows = {r.source: r for r in out.itertuples()}
+    assert rows[None].n_docs == 2
+    assert rows[None].n_en == 1 and rows[None].n_de == 0
+    assert rows["s1"].n_de == 1
+
+
+def test_mad_outliers_null_lang_and_chars(ray_session, tmp_path):
+    """NULL-lang rows drop (SQL JOIN USING), NULL n_chars rows keep a
+    NULL flag (their dev is NULL in SQL)."""
+    from deepseek_ocr_customvllm_ray.pipelines.queries import (
+        q_length_mad_outliers,
+    )
+
+    sf = _write_docs(tmp_path, [
+        (1, "a", "en", "s", 10),
+        (2, "b", "en", "s", 11),
+        (3, "c", "en", "s", 500),
+        (4, "d", None, "s", 10),   # null lang -> dropped
+        (5, "e", "en", "s", None),  # null chars -> null flag
+    ])
+    out = q_length_mad_outliers(sf).to_pandas()
+    assert set(out["doc_id"]) == {1, 2, 3, 5}
+    by_id = out.set_index("doc_id")["is_outlier"]
+    assert by_id[3] == True  # noqa: E712 — 500 vs median 11
+    assert by_id[1] == False and by_id[2] == False  # noqa: E712
+    assert by_id.isna()[5]
