@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_revenue_pruned": q.q_lineitem_revenue_pruned,
         "token_entropy": q.q_token_entropy,
         "events_funnel": q.q_events_funnel,
+        "sentence_stats": q.q_sentence_stats,
         "events_sessionize": q.q_events_sessionize,
         "source_median_chars": q.q_source_median_chars,
         # --- gated green in CORRECTNESS_r04 (driver rows on file) --------
@@ -378,6 +379,17 @@ def oracle_sql() -> dict[str, str]:
             "epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS delta_us "
             "FROM events WINDOW w AS "
             "(PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "sentence_stats": (
+            # same RE2 split both engines; only NON-EMPTY segments count
+            # (trailing punctuation yields an empty tail segment)
+            "SELECT doc_id, "
+            "CAST(len(list_filter(string_split_regex(text, '[.!?]+\\s+'), "
+            "s -> s <> '')) AS BIGINT) AS n_sentences, "
+            "CAST(coalesce(list_sum(list_transform(list_filter("
+            "string_split_regex(text, '[.!?]+\\s+'), s -> s <> ''), "
+            "s -> length(s))), 0) AS BIGINT) AS sum_sent_chars "
+            "FROM documents WHERE text IS NOT NULL"
         ),
         "events_funnel": (
             # step k = min ts of its type STRICTLY AFTER step k-1; a

@@ -252,6 +252,7 @@ def run_bench() -> dict:
     timed("lineitem_revenue_pruned", q.q_lineitem_revenue_pruned)
     timed("token_entropy", q.q_token_entropy)
     timed("events_funnel", q.q_events_funnel)
+    timed("sentence_stats", q.q_sentence_stats)
 
     out = {
         "metric": "extract_e2e_sec",

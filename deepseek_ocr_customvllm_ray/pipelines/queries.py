@@ -2446,3 +2446,14 @@ def q_events_funnel(sf_dir: str):
         ds, "user_id", "ts", "event_type",
         steps=["view", "click", "purchase"], num_partitions=16,
     )
+
+
+def q_sentence_stats(sf_dir: str):
+    """Per-doc sentence segmentation stats (count + total chars of
+    non-empty sentence segments) — integer-exact structure signal, one
+    map pass (stages.analysis.make_sentence_stats_batch)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        analysis.make_sentence_stats_batch("text", "doc_id"),
+        batch_format="pyarrow",
+    )

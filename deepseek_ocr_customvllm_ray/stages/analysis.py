@@ -781,3 +781,54 @@ def make_token_entropy_batch(text_col: str, id_col: str):
         })
 
     return fn
+
+
+def make_sentence_stats_batch(text_col: str, id_col: str):
+    """Per-doc sentence structure: count and total character length of
+    non-empty sentence segments (split on ``[.!?]+\\s+`` — the RE2
+    pattern both engines share), the mean-sentence-length quality signal
+    without a float in the contract.  Null texts drop (oracle's WHERE);
+    empty / punctuation-only texts keep a (0, 0) row.  One regex split
+    per batch; counts and length sums fold on int64 accumulators over
+    the list offsets — no per-row Python."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        valid = pc.is_valid(batch[text_col])
+        batch = batch.filter(valid)
+        out_schema = pa.schema([
+            ("doc_id", pa.int64()),
+            ("n_sentences", pa.int64()),
+            ("sum_sent_chars", pa.int64()),
+        ])
+        if not batch.num_rows:
+            return out_schema.empty_table()
+        ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lists = pc.split_pattern_regex(
+            batch[text_col], pattern=r"[.!?]+\s+"
+        )
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        offsets = lists.offsets.to_numpy().astype(np.int64)
+        offsets = offsets - offsets[0]
+        seg_counts = offsets[1:] - offsets[:-1]
+        flat = lists.flatten()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        seg_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        nonempty = seg_len > 0
+        doc_ix = np.repeat(
+            np.arange(len(ids), dtype=np.int64), seg_counts
+        )
+        n_sent = np.zeros(len(ids), dtype=np.int64)
+        np.add.at(n_sent, doc_ix[nonempty], 1)
+        tot = np.zeros(len(ids), dtype=np.int64)
+        np.add.at(tot, doc_ix[nonempty], seg_len[nonempty])
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_sentences": pa.array(n_sent, pa.int64()),
+            "sum_sent_chars": pa.array(tot, pa.int64()),
+        }, schema=out_schema)
+
+    return fn

@@ -393,3 +393,32 @@ class TestTokenEntropy:
             ),
         ])
         assert whole.equals(merged)
+
+
+class TestSentenceStats:
+    def _run(self, texts):
+        t = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        return analysis.make_sentence_stats_batch("text", "doc_id")(t)
+
+    def test_hand_computed(self):
+        out = self._run(["One. Two! Three? Four"])
+        assert out["n_sentences"].to_pylist() == [4]
+        assert out["sum_sent_chars"].to_pylist() == [len("One") + 3 + 5 + 4]
+
+    def test_trailing_punct_and_empty(self):
+        out = self._run(["Trail. ", "", "NoPunct"])
+        assert out["n_sentences"].to_pylist() == [1, 0, 1]
+        assert out["sum_sent_chars"].to_pylist() == [5, 0, 7]
+
+    def test_null_dropped(self):
+        out = self._run([None, "A. B"])
+        assert out["doc_id"].to_pylist() == [1]
+        assert out["n_sentences"].to_pylist() == [2]
+
+    def test_abbreviation_not_split(self):
+        # no whitespace after the dot -> not a boundary (A.B stays one)
+        out = self._run(["A.B stays"])
+        assert out["n_sentences"].to_pylist() == [1]
