@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_entropy": q.q_token_entropy,
         "events_funnel": q.q_events_funnel,
         "sentence_stats": q.q_sentence_stats,
+        "hourly_active_users": q.q_hourly_active_users,
+        "events_retention": q.q_events_retention,
         "events_sessionize": q.q_events_sessionize,
         "source_median_chars": q.q_source_median_chars,
         # --- gated green in CORRECTNESS_r04 (driver rows on file) --------
@@ -379,6 +381,22 @@ def oracle_sql() -> dict[str, str]:
             "epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS delta_us "
             "FROM events WINDOW w AS "
             "(PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "hourly_active_users": (
+            "SELECT date_trunc('hour', ts) AS hour, "
+            "count(DISTINCT user_id) AS n_users, count(*) AS n_events "
+            "FROM events GROUP BY date_trunc('hour', ts)"
+        ),
+        "events_retention": (
+            # cohort = week of the user's first event; count the user in
+            # every distinct week of activity (both truncations start
+            # Monday in both engines)
+            "WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS "
+            "cohort FROM events GROUP BY user_id), "
+            "a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk "
+            "FROM events) "
+            "SELECT cohort, wk, count(*) AS n_users FROM a "
+            "JOIN f USING (user_id) GROUP BY cohort, wk"
         ),
         "sentence_stats": (
             # same RE2 split both engines; only NON-EMPTY segments count

@@ -253,6 +253,8 @@ def run_bench() -> dict:
     timed("token_entropy", q.q_token_entropy)
     timed("events_funnel", q.q_events_funnel)
     timed("sentence_stats", q.q_sentence_stats)
+    timed("hourly_active_users", q.q_hourly_active_users)
+    timed("events_retention", q.q_events_retention)
 
     out = {
         "metric": "extract_e2e_sec",

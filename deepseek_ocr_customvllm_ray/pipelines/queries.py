@@ -2457,3 +2457,164 @@ def q_sentence_stats(sf_dir: str):
         analysis.make_sentence_stats_batch("text", "doc_id"),
         batch_format="pyarrow",
     )
+
+
+def q_hourly_active_users(sf_dir: str):
+    """Exact distinct-users-per-hour + event counts (the DAU/MAU shape):
+    per-batch (hour, user, n) partials shrink to the (hour x user)
+    support, ONE crc32(hour)-keyed exchange co-locates each hour, and a
+    per-partition lexsort sweep folds counts and resolves the distinct
+    count — count(DISTINCT) without a corpus-wide pair groupby round."""
+    from ..stages.partition import with_hash_partition
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            ("hour", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("n_p", pa.int64()),
+        ])
+        if not batch.num_rows:
+            return out_schema.empty_table()
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        t = pa.table({"hour": hour, "user_id": batch["user_id"]})
+        return (
+            t.group_by(["hour", "user_id"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["hour", "user_id", "n_p"])
+            .cast(out_schema)
+        )
+
+    parts = with_hash_partition(
+        _as_int_keyed(ds.map_batches(partial, batch_format="pyarrow")),
+        "_hour_us", 16,
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_part"])
+        out_schema = pa.schema([
+            ("hour", pa.timestamp("us")),
+            ("n_users", pa.int64()),
+            ("n_events", pa.int64()),
+        ])
+        if not t.num_rows:
+            return out_schema.empty_table()
+        h = t["_hour_us"].to_numpy(zero_copy_only=False)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        n = t["n_p"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((u, h))
+        h_s, u_s, n_s = h[order], u[order], n[order]
+        new_pair = np.concatenate(
+            [[True], (h_s[1:] != h_s[:-1]) | (u_s[1:] != u_s[:-1])]
+        )
+        starts = np.flatnonzero(new_pair)
+        ph = h_s[starts]
+        pn = np.add.reduceat(n_s, starts)
+        new_hour = np.concatenate([[True], ph[1:] != ph[:-1]])
+        hstarts = np.flatnonzero(new_hour)
+        counts_pairs = np.diff(np.append(hstarts, len(ph)))
+        return pa.table({
+            "hour": pa.array(ph[hstarts], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "n_users": pa.array(counts_pairs, pa.int64()),
+            "n_events": pa.array(np.add.reduceat(pn, hstarts), pa.int64()),
+        }, schema=out_schema)
+
+    return parts.groupby("_part").map_groups(sweep, batch_format="pyarrow")
+
+
+def _as_int_keyed(pairs_ds):
+    """Add an int64 ``_hour_us`` view of the ``hour`` timestamp column so
+    the partition hash and the sweep compare plain ints."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_hour_us", pc.cast(batch["hour"], pa.int64())
+        )
+
+    return pairs_ds.map_batches(add, batch_format="pyarrow")
+
+
+def q_events_retention(sf_dir: str):
+    """Weekly retention cohorts: users grouped by the week of their FIRST
+    event, counted in every week they were active — the retention-matrix
+    shape.  ONE crc32(user) exchange of thin distinct (user, week)
+    partials; each partition resolves its users' cohort (min week) and
+    emits (cohort, week) pair counts; the final (weeks x weeks) fold is
+    KB-scale."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.partition import with_hash_partition
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            ("user_id", pa.int64()),
+            ("wk_us", pa.int64()),
+        ])
+        if not batch.num_rows:
+            return out_schema.empty_table()
+        wk = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="week"), pa.int64()
+        )
+        t = pa.table({"user_id": batch["user_id"], "wk_us": wk})
+        return (
+            t.group_by(["user_id", "wk_us"])
+            .aggregate([])
+            .cast(out_schema)
+        )
+
+    parts = with_hash_partition(
+        ds.map_batches(partial, batch_format="pyarrow"), "user_id", 16
+    )
+
+    def cohort_pairs(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_part"])
+        out_schema = pa.schema([
+            ("cohort_us", pa.int64()),
+            ("wk_us", pa.int64()),
+            ("n_p", pa.int64()),
+        ])
+        if not t.num_rows:
+            return out_schema.empty_table()
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        w = t["wk_us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, u))
+        u_s, w_s = u[order], w[order]
+        new_pair = np.concatenate(
+            [[True], (u_s[1:] != u_s[:-1]) | (w_s[1:] != w_s[:-1])]
+        )
+        u_d, w_d = u_s[new_pair], w_s[new_pair]
+        new_user = np.concatenate([[True], u_d[1:] != u_d[:-1]])
+        ustarts = np.flatnonzero(new_user)
+        reps = np.diff(np.append(ustarts, len(u_d)))
+        cohort = np.repeat(w_d[ustarts], reps)  # min week = first in order
+        pair, n = np.unique(
+            np.stack([cohort, w_d], axis=1), axis=0, return_counts=True
+        )
+        return pa.table({
+            "cohort_us": pa.array(pair[:, 0], pa.int64()),
+            "wk_us": pa.array(pair[:, 1], pa.int64()),
+            "n_p": pa.array(n, pa.int64()),
+        }, schema=out_schema)
+
+    folded = (
+        parts.groupby("_part")
+        .map_groups(cohort_pairs, batch_format="pyarrow")
+        .groupby(["cohort_us", "wk_us"])
+        .aggregate(Sum("n_p", alias_name="n_users"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort": pc.cast(
+                batch["cohort_us"], pa.timestamp("us")
+            ),
+            "wk": pc.cast(batch["wk_us"], pa.timestamp("us")),
+            "n_users": batch["n_users"].cast(pa.int64()),
+        })
+
+    return folded.map_batches(finish, batch_format="pyarrow")

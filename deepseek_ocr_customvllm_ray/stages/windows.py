@@ -431,15 +431,14 @@ def key_mode(
     (deterministic; SQL ``QUALIFY row_number() OVER (PARTITION BY key
     ORDER BY n DESC, cat) = 1``).
 
-    Two-level aggregation: per-batch (key, cat) partial counts shrink the
-    corpus to its (key x cat) support BEFORE the exchange, then one
-    crc32(key) exchange of thin count rows and a per-partition
-    lexsort argmax sweep.  Shuffle volume is the (key, cat) support, not
-    the event count.  Returns ``(key, cat, n)`` with ``n`` the winning
-    category's count.
+    ONE exchange: per-batch (key, cat) partial counts shrink the corpus to
+    its (key x cat) support BEFORE the exchange; the crc32(key) partition
+    co-locates every partial of a key, so one per-partition sweep both
+    folds the partials (lexsort + boundary ``add.reduceat``) and resolves
+    the argmax — no separate distributed groupby round.  Shuffle volume is
+    the (key, cat) support per batch, not the event count.  Returns
+    ``(key, cat, n)`` with ``n`` the winning category's count.
     """
-    from ray.data.aggregate import Sum
-
     from .partition import with_hash_partition
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -458,14 +457,10 @@ def key_mode(
             .cast(out_schema)
         )
 
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby([key_col, cat_col])
-        .aggregate(Sum("n_p", alias_name="n"))
-    )
-    parts = with_hash_partition(counts, key_col, num_partitions)
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    parts = with_hash_partition(partials, key_col, num_partitions)
 
-    def argmax(t: pa.Table) -> pa.Table:
+    def fold_argmax(t: pa.Table) -> pa.Table:
         t = t.drop_columns(["_part"])
         out_schema = pa.schema([
             (key_col, t[key_col].type),
@@ -476,17 +471,27 @@ def key_mode(
             return out_schema.empty_table()
         keys = t[key_col].to_numpy(zero_copy_only=False)
         cats = t[cat_col].to_numpy(zero_copy_only=False)
-        ns = t["n"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        # per key: highest n first, then smallest category string
-        order = np.lexsort((cats, -ns, keys))
-        k_s = keys[order]
-        first = np.concatenate([[True], k_s[1:] != k_s[:-1]])
-        pick = order[first]
-        return t.take(pa.array(pick)).select([key_col, cat_col, "n"]).cast(
-            out_schema
+        ns = t["n_p"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # fold: sum partials per (key, cat) pair in one lexsort + reduceat
+        order = np.lexsort((cats, keys))
+        k_s, c_s, n_s = keys[order], cats[order], ns[order]
+        new_pair = np.concatenate(
+            [[True], (k_s[1:] != k_s[:-1]) | (c_s[1:] != c_s[:-1])]
         )
+        starts = np.flatnonzero(new_pair)
+        pk, pc_, pn = k_s[starts], c_s[starts], np.add.reduceat(n_s, starts)
+        # argmax: highest n first, then smallest category string
+        order2 = np.lexsort((pc_, -pn, pk))
+        k2 = pk[order2]
+        first = np.concatenate([[True], k2[1:] != k2[:-1]])
+        pick = order2[first]
+        return pa.table({
+            key_col: pa.array(pk[pick], t[key_col].type),
+            cat_col: pa.array(pc_[pick], t[cat_col].type),
+            "n": pa.array(pn[pick], pa.int64()),
+        }, schema=out_schema)
 
-    return parts.groupby("_part").map_groups(argmax, batch_format="pyarrow")
+    return parts.groupby("_part").map_groups(fold_argmax, batch_format="pyarrow")
 
 
 def key_lead_bounds(

@@ -258,3 +258,40 @@ def test_mad_outliers_null_lang_and_chars(ray_session, tmp_path):
     assert by_id[3] == True  # noqa: E712 — 500 vs median 11
     assert by_id[1] == False and by_id[2] == False  # noqa: E712
     assert by_id.isna()[5]
+
+
+def test_retention_cohort_assignment(ray_session, tmp_path):
+    """Cohort = week of FIRST event; a user active in 3 weeks contributes
+    one row to each, all under the same cohort."""
+    from deepseek_ocr_customvllm_ray.pipelines.queries import (
+        q_events_retention,
+    )
+
+    def wk(n, dow=0):  # Monday of week n (2026-01-05 is a Monday)
+        return dt.datetime(2026, 1, 5) + dt.timedelta(weeks=n, days=dow)
+
+    t = pa.table({
+        "event_id": pa.array(range(6), pa.int64()),
+        "ts": pa.array(
+            [wk(0, 2), wk(1), wk(2), wk(1, 3), wk(1, 4), wk(0)],
+            pa.timestamp("us"),
+        ),
+        "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "event_type": pa.array(["view"] * 6, pa.string()),
+        "value": pa.array([1.0] * 6, pa.float64()),
+        "props": pa.array([""] * 6, pa.string()),
+    })
+    d = tmp_path / "ret"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    out = q_events_retention(str(d)).to_pandas()
+    rows = {
+        (r.cohort, r.wk): r.n_users for r in out.itertuples()
+    }
+    # user1: cohort wk0, active wk0/1/2; user2: cohort wk1 (two events,
+    # one distinct week); user3: cohort wk0, active wk0
+    assert rows[(wk(0), wk(0))] == 2
+    assert rows[(wk(0), wk(1))] == 1
+    assert rows[(wk(0), wk(2))] == 1
+    assert rows[(wk(1), wk(1))] == 1
+    assert len(rows) == 4
