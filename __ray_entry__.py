@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_stats": q.q_sentence_stats,
         "hourly_active_users": q.q_hourly_active_users,
         "events_retention": q.q_events_retention,
+        "user_gap_median": q.q_user_gap_median,
         "events_sessionize": q.q_events_sessionize,
         "source_median_chars": q.q_source_median_chars,
         # --- gated green in CORRECTNESS_r04 (driver rows on file) --------
@@ -381,6 +382,15 @@ def oracle_sql() -> dict[str, str]:
             "epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS delta_us "
             "FROM events WINDOW w AS "
             "(PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "user_gap_median": (
+            # exact int64 microsecond deltas; median interpolates in
+            # halves — float64-exact, same argument as source_median_chars
+            "WITH d AS (SELECT user_id, epoch_us(ts) - epoch_us(LAG(ts) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS "
+            "delta_us FROM events) "
+            "SELECT user_id, median(delta_us) AS median FROM d "
+            "WHERE delta_us IS NOT NULL GROUP BY user_id"
         ),
         "hourly_active_users": (
             "SELECT date_trunc('hour', ts) AS hour, "

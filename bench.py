@@ -255,6 +255,7 @@ def run_bench() -> dict:
     timed("sentence_stats", q.q_sentence_stats)
     timed("hourly_active_users", q.q_hourly_active_users)
     timed("events_retention", q.q_events_retention)
+    timed("user_gap_median", q.q_user_gap_median)
 
     out = {
         "metric": "extract_e2e_sec",

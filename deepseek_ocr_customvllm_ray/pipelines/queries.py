@@ -2618,3 +2618,16 @@ def q_events_retention(sf_dir: str):
         })
 
     return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def q_user_gap_median(sf_dir: str):
+    """Per-user median inter-arrival time (crawl-politeness / engagement
+    statistic): key_lag's exact microsecond deltas composed with the
+    high-cardinality per-key median kernel (stages.windows.key_median —
+    one row per user, state inside the partitions, unlike the
+    grouped-quantile kernel whose driver state caps at ~10^3 groups)."""
+    from ..stages.windows import key_lag, key_median
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    lagged = key_lag(ds, "user_id", "ts", "event_id", num_partitions=16)
+    return key_median(lagged, "user_id", "delta_us", num_partitions=16)

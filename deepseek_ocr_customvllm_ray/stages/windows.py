@@ -635,3 +635,62 @@ def key_funnel(
         return pa.table(cols, schema=out_schema)
 
     return parts.groupby("_part").map_groups(sweep, batch_format="pyarrow")
+
+
+def key_median(
+    ds,
+    key_col: str,
+    value_col: str,
+    num_partitions: int = 16,
+):
+    """Per-key exact SQL ``median(value)`` at HIGH key cardinality (one
+    row per key; the per-user / per-host statistic `grouped_exact_quantiles`
+    is deliberately not built for — its driver state is per-group, so it
+    caps at ~10^3 groups, while this kernel's state lives inside the
+    partitions).  Even-count keys interpolate as the mean of the two
+    middle values — exact in float64 for int64 inputs (the
+    ``source_median_chars`` argument).  Nulls drop (SQL aggregate
+    semantics); a key with only null values emits no row (its SQL median
+    is NULL inside a group the oracle can filter symmetrically).
+
+    ONE crc32(key) exchange of projected (key, value) rows, then every
+    partition resolves ALL its keys in a single lexsort + boundary-index
+    gather.  Returns ``(key, median)``.
+    """
+    import pyarrow.compute as pc
+
+    from .partition import with_hash_partition
+
+    def project(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, value_col])
+        return t.filter(pc.is_valid(t[value_col]))
+
+    parts = with_hash_partition(
+        ds.map_batches(project, batch_format="pyarrow"),
+        key_col, num_partitions,
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_part"])
+        out_schema = pa.schema([
+            (key_col, t[key_col].type),
+            ("median", pa.float64()),
+        ])
+        if not t.num_rows:
+            return out_schema.empty_table()
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        vals = t[value_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((vals, keys))
+        k_s, v_s = keys[order], vals[order]
+        new_key = np.concatenate([[True], k_s[1:] != k_s[:-1]])
+        starts = np.flatnonzero(new_key)
+        counts = np.diff(np.append(starts, len(k_s)))
+        lo = starts + (counts - 1) // 2
+        hi = starts + counts // 2
+        med = (v_s[lo] + v_s[hi]) / 2.0
+        return pa.table({
+            key_col: pa.array(k_s[starts], t[key_col].type),
+            "median": pa.array(med, pa.float64()),
+        }, schema=out_schema)
+
+    return parts.groupby("_part").map_groups(sweep, batch_format="pyarrow")

@@ -455,3 +455,99 @@ class TestKeyFunnel:
         got = self._run(ray_session, [(1, 0, "B"), (1, 1, "C"), (2, 0, "A")])
         assert got[1].n_steps == 0 and pd.isna(got[1].t_A)
         assert got[2].n_steps == 1
+
+
+class TestKeyMedian:
+    def _run(self, ray_session, rows, parts=4):
+        import ray.data as rd
+
+        from deepseek_ocr_customvllm_ray.stages.windows import key_median
+
+        ks, vs = zip(*rows)
+        t = pa.table({
+            "k": pa.array(ks, pa.string()),
+            "v": pa.array(vs, pa.int64()),
+        })
+        out = key_median(
+            rd.from_arrow(t).repartition(3), "k", "v", num_partitions=parts
+        ).to_pandas()
+        return dict(zip(out["k"], out["median"]))
+
+    def test_odd_and_even_counts(self, ray_session):
+        got = self._run(
+            ray_session,
+            [("a", 1), ("a", 9), ("a", 5), ("b", 4), ("b", 10)],
+        )
+        assert got == {"a": 5.0, "b": 7.0}
+
+    def test_nulls_dropped_and_null_only_key_absent(self, ray_session):
+        got = self._run(
+            ray_session, [("a", 3), ("a", None), ("b", None)]
+        )
+        assert got == {"a": 3.0}
+
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        rng = np.random.default_rng(23)
+        rows = [
+            (f"k{int(rng.integers(0, 40))}", int(rng.integers(-50, 50)))
+            for _ in range(700)
+        ]
+        got = self._run(ray_session, rows, parts=6)
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"k": [r[0] for r in rows],
+                                        "v": [r[1] for r in rows]}))
+        want = dict(con.execute(
+            "SELECT k, median(v) FROM t GROUP BY k"
+        ).fetchall())
+        assert got == {k: float(v) for k, v in want.items()}
+
+
+class TestKeyFunnelDifferential:
+    def test_matches_duckdb_random(self, ray_session):
+        import duckdb
+
+        from deepseek_ocr_customvllm_ray.stages.windows import key_funnel
+        import ray.data as rd
+
+        rng = np.random.default_rng(31)
+        n = 500
+        t = pa.table({
+            "k": pa.array(rng.integers(0, 30, n), pa.int64()),
+            "ts": pa.array(
+                [dt.datetime(2026, 1, 1)
+                 + dt.timedelta(minutes=int(m))
+                 for m in rng.integers(0, 200, n)],
+                pa.timestamp("us"),
+            ),
+            "c": pa.array(rng.choice(["A", "B", "C", "X"], n), pa.string()),
+        })
+        out = key_funnel(
+            rd.from_arrow(t).repartition(3), "k", "ts", "c",
+            steps=["A", "B", "C"], num_partitions=5,
+        ).to_pandas()
+        got = {
+            r.k: (r.t_A, r.t_B, r.t_C, r.n_steps) for r in out.itertuples()
+        }
+        con = duckdb.connect()
+        con.register("t", t.to_pandas())
+        want = con.execute(
+            "WITH s1 AS (SELECT k, min(ts) AS ta FROM t WHERE c='A' "
+            "GROUP BY k), "
+            "s2 AS (SELECT t.k, min(ts) AS tb FROM t JOIN s1 ON t.k = s1.k "
+            "AND ts > ta WHERE c='B' GROUP BY t.k), "
+            "s3 AS (SELECT t.k, min(ts) AS tc FROM t JOIN s2 ON t.k = s2.k "
+            "AND ts > tb WHERE c='C' GROUP BY t.k), "
+            "u AS (SELECT DISTINCT k FROM t) "
+            "SELECT u.k, ta, tb, tc FROM u LEFT JOIN s1 USING (k) "
+            "LEFT JOIN s2 USING (k) LEFT JOIN s3 USING (k)"
+        ).fetchall()
+        for k, ta, tb, tc in want:
+            g = got[k]
+            for i, w in enumerate((ta, tb, tc)):
+                if w is None:
+                    assert pd.isna(g[i]), (k, i)
+                else:
+                    assert g[i] == w, (k, i)
+            assert g[3] == sum(x is not None for x in (ta, tb, tc))
