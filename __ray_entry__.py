@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_active_users": q.q_hourly_active_users,
         "events_retention": q.q_events_retention,
         "user_gap_median": q.q_user_gap_median,
+        "source_length_stats": q.q_source_length_stats,
+        "events_percentiles": q.q_events_percentiles,
         "events_sessionize": q.q_events_sessionize,
         "source_median_chars": q.q_source_median_chars,
         # --- gated green in CORRECTNESS_r04 (driver rows on file) --------
@@ -382,6 +384,28 @@ def oracle_sql() -> dict[str, str]:
             "epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS delta_us "
             "FROM events WINDOW w AS "
             "(PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "source_length_stats": (
+            # variance written op-for-op as the engine computes it:
+            # sum*sum, then /n, then -, then /(n-1) — IEEE ops on exact
+            # int inputs are bit-reproducible across engines
+            "SELECT source, count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "(CAST(sum(n_chars * n_chars) AS DOUBLE) - "
+            "CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE) "
+            "/ count(*)) / (count(*) - 1) AS var_chars, "
+            "sqrt((CAST(sum(n_chars * n_chars) AS DOUBLE) - "
+            "CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE) "
+            "/ count(*)) / (count(*) - 1)) AS std_chars "
+            "FROM documents GROUP BY source"
+        ),
+        "events_percentiles": (
+            "WITH e AS (SELECT event_id, user_id, "
+            "CAST(floor(value * 100) AS BIGINT) AS value_cents FROM events) "
+            "SELECT event_id, user_id, value_cents, "
+            "PERCENT_RANK() OVER w AS pct_rank, "
+            "CUME_DIST() OVER w AS cume_dist FROM e "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY value_cents)"
         ),
         "user_gap_median": (
             # exact int64 microsecond deltas; median interpolates in

@@ -256,6 +256,8 @@ def run_bench() -> dict:
     timed("hourly_active_users", q.q_hourly_active_users)
     timed("events_retention", q.q_events_retention)
     timed("user_gap_median", q.q_user_gap_median)
+    timed("source_length_stats", q.q_source_length_stats)
+    timed("events_percentiles", q.q_events_percentiles)
 
     out = {
         "metric": "extract_e2e_sec",

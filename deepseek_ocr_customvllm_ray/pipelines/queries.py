@@ -2631,3 +2631,91 @@ def q_user_gap_median(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
     lagged = key_lag(ds, "user_id", "ts", "event_id", num_partitions=16)
     return key_median(lagged, "user_id", "delta_us", num_partitions=16)
+
+
+def q_source_length_stats(sf_dir: str):
+    """Per-source length moments: n / sum / sample variance / stddev from
+    per-batch (n, sum, sum-of-squares) integer partials — the classic
+    mergeable moment sketch.  The variance is ONE fixed double expression
+    of exact ints ((sumsq - sum*sum/n) / (n-1), mirrored op-for-op in the
+    SQL), so the floats are bit-reproducible: IEEE ops on identical exact
+    inputs — only summation ORDER or transcendentals can diverge, and
+    there are neither (sqrt is correctly rounded)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            ("source", pa.string()),
+            ("n_p", pa.int64()),
+            ("sum_p", pa.int64()),
+            ("sumsq_p", pa.int64()),
+        ])
+        if not batch.num_rows:
+            return out_schema.empty_table()
+        x = batch["n_chars"]
+        t = pa.table({
+            "source": batch["source"],
+            "one": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+            "x": x.cast(pa.int64()),
+            "xx": pc.multiply(x.cast(pa.int64()), x.cast(pa.int64())),
+        })
+        return (
+            t.group_by(["source"])
+            .aggregate([("one", "sum"), ("x", "sum"), ("xx", "sum")])
+            .rename_columns(["source", "n_p", "sum_p", "sumsq_p"])
+            .cast(out_schema)
+        )
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_p", alias_name="n_docs"),
+            Sum("sum_p", alias_name="sum_chars"),
+            Sum("sumsq_p", alias_name="sumsq"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_docs"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        s = batch["sum_chars"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        ss = batch["sumsq"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        # op-for-op the SQL expression: sum*sum, then /n, then -, then /
+        var = (ss - s * s / n) / (n - 1)
+        return pa.table({
+            "source": batch["source"],
+            "n_docs": batch["n_docs"].cast(pa.int64()),
+            "sum_chars": batch["sum_chars"].cast(pa.int64()),
+            "var_chars": pa.array(var, pa.float64()),
+            "std_chars": pa.array(np.sqrt(var), pa.float64()),
+        })
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def q_events_percentiles(sf_dir: str):
+    """Per-user PERCENT_RANK / CUME_DIST over spend — relative-standing
+    window pair, one double division of exact ints each (bit-reproducible
+    floats), same single-exchange sweep as the rank family."""
+    from ..stages.windows import key_percentiles
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(batch["value"], 100.0)), pa.int64())
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "value_cents": cents,
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    return key_percentiles(
+        prepped, "user_id", "value_cents", "event_id", num_partitions=16
+    )

@@ -694,3 +694,66 @@ def key_median(
         }, schema=out_schema)
 
     return parts.groupby("_part").map_groups(sweep, batch_format="pyarrow")
+
+
+def key_percentiles(
+    ds,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    num_partitions: int = 16,
+):
+    """Per-key ``PERCENT_RANK()`` / ``CUME_DIST()`` over ``value ASC`` —
+    the relative-standing window pair ((rank-1)/(n-1) and
+    rows-with-value<=current / n).  Both are ONE double division of exact
+    ints, so the floats are bit-reproducible.  Tie groups share both
+    values (value-only ordering — engine-independent).  Same
+    single-exchange lexsort sweep as :func:`key_rank`.
+    Returns ``(id, key, value, pct_rank, cume_dist)``.
+    """
+    from .partition import with_hash_partition
+
+    parts = with_hash_partition(ds, key_col, num_partitions)
+
+    def sweep(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_part"])
+        out_schema = pa.schema([
+            (id_col, pa.int64()),
+            (key_col, t[key_col].type),
+            (value_col, pa.int64()),
+            ("pct_rank", pa.float64()),
+            ("cume_dist", pa.float64()),
+        ])
+        if not t.num_rows:
+            return out_schema.empty_table()
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        vals = t[value_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids = t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, vals, keys))
+        k_s, v_s, i_s = keys[order], vals[order], ids[order]
+        n = len(k_s)
+        new_key = np.concatenate([[True], k_s[1:] != k_s[:-1]])
+        key_starts = np.flatnonzero(new_key)
+        counts = np.diff(np.append(key_starts, n))
+        start_of_key = np.repeat(key_starts, counts)
+        n_of_key = np.repeat(counts, counts)
+        new_val = new_key | np.concatenate([[True], v_s[1:] != v_s[:-1]])
+        val_starts = np.flatnonzero(new_val)
+        val_counts = np.diff(np.append(val_starts, n))
+        start_of_val = np.repeat(val_starts, val_counts)
+        end_of_val = np.repeat(val_starts + val_counts - 1, val_counts)
+        rank = start_of_val - start_of_key + 1
+        le_count = end_of_val - start_of_key + 1
+        pct = np.where(
+            n_of_key > 1, (rank - 1) / np.maximum(n_of_key - 1, 1), 0.0
+        )
+        cume = le_count / n_of_key
+        return pa.table({
+            id_col: pa.array(i_s, pa.int64()),
+            key_col: pa.array(k_s, t[key_col].type),
+            value_col: pa.array(v_s, pa.int64()),
+            "pct_rank": pa.array(pct, pa.float64()),
+            "cume_dist": pa.array(cume, pa.float64()),
+        }, schema=out_schema)
+
+    return parts.groupby("_part").map_groups(sweep, batch_format="pyarrow")

@@ -97,7 +97,8 @@ for name in ("q_minhash_clusters", "q_ngram_jaccard_pairs", "q_simhash_signature
              "q_lineitem_revenue_pruned", "q_token_entropy",
              "q_events_funnel", "q_sentence_stats",
              "q_hourly_active_users", "q_events_retention",
-             "q_user_gap_median"):
+             "q_user_gap_median", "q_source_length_stats",
+             "q_events_percentiles"):
     res = getattr(q, name)(%(sf)r)
     df = res.to_pandas() if hasattr(res, "to_pandas") else res
     df = df[sorted(df.columns)]

@@ -551,3 +551,50 @@ class TestKeyFunnelDifferential:
                 else:
                     assert g[i] == w, (k, i)
             assert g[3] == sum(x is not None for x in (ta, tb, tc))
+
+
+class TestKeyPercentiles:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from deepseek_ocr_customvllm_ray.stages.windows import (
+            key_percentiles,
+        )
+
+        rng = np.random.default_rng(41)
+        n = 400
+        t = pa.table({
+            "k": pa.array(rng.integers(0, 25, n), pa.int64()),
+            "v": pa.array(rng.integers(0, 30, n), pa.int64()),  # ties
+            "id": pa.array(range(n), pa.int64()),
+        })
+        out = key_percentiles(
+            rd.from_arrow(t).repartition(3), "k", "v", "id",
+            num_partitions=5,
+        ).to_pandas()
+        got = {r.id: (r.pct_rank, r.cume_dist) for r in out.itertuples()}
+        con = duckdb.connect()
+        con.register("t", t.to_pandas())
+        want = con.execute(
+            "SELECT id, PERCENT_RANK() OVER w, CUME_DIST() OVER w FROM t "
+            "WINDOW w AS (PARTITION BY k ORDER BY v)"
+        ).fetchall()
+        for id_, p, c in want:
+            assert got[id_] == (p, c), id_
+
+    def test_single_row_key(self, ray_session):
+        import ray.data as rd
+
+        from deepseek_ocr_customvllm_ray.stages.windows import (
+            key_percentiles,
+        )
+
+        t = pa.table({
+            "k": pa.array([7], pa.int64()),
+            "v": pa.array([5], pa.int64()),
+            "id": pa.array([0], pa.int64()),
+        })
+        out = key_percentiles(rd.from_arrow(t), "k", "v", "id").to_pandas()
+        assert out["pct_rank"].tolist() == [0.0]
+        assert out["cume_dist"].tolist() == [1.0]
